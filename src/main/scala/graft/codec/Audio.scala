@@ -1,0 +1,151 @@
+package graft.codec
+
+/** Pure-JVM audio codecs for the graft's binary `bytes` column
+  * (BASELINE.json.input_hint): PCM s16le, G.711 μ-law and A-law —
+  * standard public formulas (ITU-T G.711). Used by the `mapPartitions`
+  * decode stage; the per-row invariant is decoded-PCM SNR ≥ 30 dB vs the
+  * fixture's reference PCM (BASELINE.md).
+  */
+object Audio {
+
+  val Codecs: Vector[String] = Vector("pcm_s16le", "ulaw", "alaw")
+
+  // ---------------------------------------------------------------- PCM16
+  def pcm16Encode(samples: Array[Short]): Array[Byte] = {
+    val out = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      out(2 * i) = (samples(i) & 0xff).toByte
+      out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def pcm16Decode(bytes: Array[Byte]): Array[Short] = {
+    val n = bytes.length / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort
+      i += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- μ-law
+  private val MuLawBias = 0x84
+  private val MuLawClip = 32635
+
+  def ulawEncodeSample(s0: Short): Byte = {
+    var s = s0.toInt
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MuLawClip) s = MuLawClip
+    s += MuLawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mantissa = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mantissa)).toByte
+  }
+
+  def ulawDecodeSample(b: Byte): Short = {
+    val u = ~b & 0xff
+    val sign = u & 0x80
+    val exp = (u >> 4) & 0x07
+    val mantissa = u & 0x0f
+    var s = ((mantissa << 3) + MuLawBias) << exp
+    s -= MuLawBias
+    (if (sign != 0) -s else s).toShort
+  }
+
+  // ---------------------------------------------------------------- A-law
+  def alawEncodeSample(s0: Short): Byte = {
+    var s = s0.toInt
+    val sign = if (s >= 0) 0x80 else { s = -s - 1; if (s < 0) s = 0; 0 }
+    if (s > 32635) s = 32635
+    val out =
+      if (s < 256) (s >> 4) & 0x0f
+      else {
+        var exp = 7
+        var mask = 0x4000
+        while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+        val mantissa = (s >> (exp + 3)) & 0x0f
+        ((exp << 4) | mantissa)
+      }
+    ((out | sign) ^ 0x55).toByte
+  }
+
+  def alawDecodeSample(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xff
+    val sign = a & 0x80
+    val exp = (a >> 4) & 0x07
+    val mantissa = a & 0x0f
+    var s =
+      if (exp == 0) (mantissa << 4) + 8
+      else ((mantissa << 4) + 0x108) << (exp - 1)
+    if (sign == 0) s = -s
+    s.toShort
+  }
+
+  def encode(codec: String, samples: Array[Short]): Array[Byte] = codec match {
+    case "pcm_s16le" => pcm16Encode(samples)
+    case "ulaw" => samples.map(ulawEncodeSample)
+    case "alaw" => samples.map(alawEncodeSample)
+    case other => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  /** Returns null for unknown codecs / null payloads — the graft analog of
+    * the reference's `tp=="img"` undecodable passthrough (EL:603-604). */
+  def decode(codec: String, bytes: Array[Byte]): Array[Short] = {
+    if (bytes == null) return null
+    codec match {
+      case "pcm_s16le" => pcm16Decode(bytes)
+      case "ulaw" => bytes.map(ulawDecodeSample)
+      case "alaw" => bytes.map(alawDecodeSample)
+      case _ => null
+    }
+  }
+
+  /** Signal-to-noise ratio in dB of `test` against reference `ref`. */
+  def snrDb(ref: Array[Short], test: Array[Short]): Double = {
+    if (ref == null || test == null || ref.length != test.length || ref.isEmpty)
+      return Double.NegativeInfinity
+    var sig = 0.0
+    var err = 0.0
+    var i = 0
+    while (i < ref.length) {
+      val r = ref(i).toDouble
+      val d = r - test(i)
+      sig += r * r
+      err += d * d
+      i += 1
+    }
+    if (err == 0.0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
+  }
+
+  def rms(samples: Array[Short]): Double = {
+    if (samples == null || samples.isEmpty) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < samples.length) { s += samples(i).toDouble * samples(i); i += 1 }
+    math.sqrt(s / samples.length)
+  }
+
+  /** Deterministic fixture waveform: sine + small seeded noise, amplitude
+    * well inside 16-bit range so μ-law/A-law round-trips stay ≥ 30 dB SNR. */
+  def synth(seed: Long, sampleRate: Int, nSamples: Int): Array[Short] = {
+    val rnd = new scala.util.Random(seed)
+    val freq = 180.0 + rnd.nextInt(2800)
+    val amp = 6000.0 + rnd.nextInt(14000)
+    val out = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val v = amp * math.sin(2 * math.Pi * freq * i / sampleRate) +
+        rnd.nextGaussian() * 40.0
+      out(i) = math.max(-32768.0, math.min(32767.0, v)).toShort
+      i += 1
+    }
+    out
+  }
+}

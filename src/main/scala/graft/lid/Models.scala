@@ -1,0 +1,337 @@
+package graft.lid
+
+import scala.util.Random
+
+/** From-scratch, pure-Scala language-ID family mirroring the reference's
+  * ensemble members (SURVEY.md §2.4, lib/language_identification.py:285-495):
+  *
+  *  - [[HashedLinearLid]]  ~ `impresso_ft`/`wp_ft` (fastText-style: hashed
+  *    char-n-gram bag → linear softmax; digit-stripped input, top-k=5,
+  *    prob floor 0.05, clamp min(1, round(p,3)) — LI:169-195)
+  *  - [[NaiveBayesLid]]    ~ `langid` (char-n-gram multinomial NB with
+  *    normalized probabilities — LI:293-295, 368-382)
+  *  - [[RankLid]]          ~ `lingua` (trigram rank-profile, out-of-place
+  *    measure → confidence > 0.05 kept — LI:303-307, 422-439)
+  *  - [[CharLm]]           — graft addition: KenLM-style interpolated char
+  *    n-gram LM for per-transcript perplexity (BASELINE.json.north_star).
+  *
+  * All models are trained deterministically in-memory from
+  * [[LangCorpus.trainingCorpus]] (the reference's binaries are LFS stubs;
+  * its impresso model was itself trained on ~2k items, README.md:37-39).
+  * Each detector returns a prob-desc-sorted array, possibly empty, and is
+  * cheap enough for per-row calls inside `mapPartitions`.
+  */
+trait LangDetector extends Serializable {
+  /** (lang, prob) sorted by prob desc then lang asc; pruned per-detector. */
+  def predict(text: String): Array[(String, Double)]
+}
+
+object Detectors {
+  /** Deterministic tie-break contract (SURVEY.md §2.9 step 8):
+    * score desc, then lexicographically smallest language. */
+  def sortPreds(m: Iterable[(String, Double)]): Array[(String, Double)] =
+    m.toArray.sortBy { case (l, p) => (-p, l) }
+
+  def softmax(scores: Array[Double]): Array[Double] = {
+    val mx = scores.max
+    val exps = scores.map(s => math.exp(s - mx))
+    val z = exps.sum
+    exps.map(_ / z)
+  }
+
+  /** FNV-1a 32-bit over a char slice — the hashing-trick bucket hash. */
+  def ngramHash(s: CharSequence, from: Int, until: Int, dim: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    (h & 0x7fffffff) % dim
+  }
+}
+
+/** fastText-style: hashed char n-grams (1..4) → averaged bag → linear
+  * softmax, trained with plain deterministic SGD. `langs` restricts the
+  * label space (the impresso-style model covers exactly fr/de/lb/en/it). */
+final class HashedLinearLid(
+    val langs: Vector[String],
+    dim: Int = 1 << 15,
+    epochs: Int = 3,
+    lr: Double = 0.25) extends LangDetector {
+
+  private val k = langs.length
+  private val w = Array.ofDim[Float](k, dim)
+  private val bias = new Array[Float](k)
+
+  private def features(text: String): Array[Int] = {
+    // digit-strip + lowercase pre-norm, word boundary markers like fastText
+    val t = "" + TextStats.stripDigits(text).toLowerCase + ""
+    val out = new scala.collection.mutable.ArrayBuffer[Int](t.length * 3)
+    var n = 1
+    while (n <= 4) {
+      var i = 0
+      while (i + n <= t.length) {
+        out += Detectors.ngramHash(t, i, i + n, dim)
+        i += 1
+      }
+      n += 1
+    }
+    out.toArray
+  }
+
+  def train(corpus: Seq[(String, String)]): this.type = {
+    val idx = langs.zipWithIndex.toMap
+    val data = corpus.filter(c => idx.contains(c._1))
+      .map { case (l, s) => (idx(l), features(s)) }
+    val rnd = new Random(4242L)
+    val order = data.toArray
+    var e = 0
+    while (e < epochs) {
+      // deterministic shuffle per epoch
+      val perm = rnd.shuffle(order.indices.toVector)
+      perm.foreach { pi =>
+        val (y, fs) = order(pi)
+        if (fs.nonEmpty) {
+          val inv = 1.0 / fs.length
+          val scores = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            var s = bias(c).toDouble
+            val row = w(c)
+            fs.foreach(f => s += row(f))
+            scores(c) = s * 1.0; c += 1
+          }
+          val p = Detectors.softmax(scores)
+          c = 0
+          while (c < k) {
+            val g = (if (c == y) 1.0 else 0.0) - p(c)
+            val step = (lr * g * inv).toFloat
+            val row = w(c)
+            fs.foreach(f => row(f) += step)
+            bias(c) += (lr * g).toFloat
+            c += 1
+          }
+        }
+      }
+      e += 1
+    }
+    this
+  }
+
+  override def predict(text: String): Array[(String, Double)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val fs = features(text)
+    if (fs.isEmpty) return Array.empty
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = bias(c).toDouble
+      val row = w(c)
+      fs.foreach(f => s += row(f))
+      scores(c) = s; c += 1
+    }
+    val p = Detectors.softmax(scores)
+    // k=5 / threshold 0.05 / clamp min(1, round(p,3)) — LI:186-190
+    Detectors.sortPreds(langs.zip(p))
+      .filter(_._2 > 0.05).take(5)
+      .map { case (l, pr) => (l, math.min(1.0, TextStats.roundTo(pr, 3))) }
+  }
+}
+
+/** langid-style: multinomial Naive Bayes over char 1+2-grams with
+  * normalized posterior probabilities (norm_probs=True analog). */
+final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
+  private val k = langs.length
+  private val logLik = new scala.collection.mutable.HashMap[(Int, String), Double]
+  private val defaults = new Array[Double](k)
+
+  private def grams(text: String): Iterator[String] = {
+    val t = text.toLowerCase
+    (1 to 2).iterator.flatMap(n => (0 to t.length - n).iterator.map(i => t.substring(i, i + n)))
+  }
+
+  def train(corpus: Seq[(String, String)]): this.type = {
+    val idx = langs.zipWithIndex.toMap
+    val counts = Array.fill(k)(new scala.collection.mutable.HashMap[String, Int])
+    val totals = new Array[Long](k)
+    corpus.foreach { case (l, s) =>
+      idx.get(l).foreach { y =>
+        grams(s).foreach { g =>
+          counts(y)(g) = counts(y).getOrElse(g, 0) + 1
+          totals(y) += 1
+        }
+      }
+    }
+    val vocabSize = counts.iterator.flatMap(_.keysIterator).toSet.size.toDouble
+    var c = 0
+    while (c < k) {
+      defaults(c) = math.log(1.0 / (totals(c) + vocabSize))
+      counts(c).foreach { case (g, n) =>
+        logLik((c, g)) = math.log((n + 1.0) / (totals(c) + vocabSize))
+      }
+      c += 1
+    }
+    this
+  }
+
+  override def predict(text: String): Array[(String, Double)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val scores = new Array[Double](k)
+    var any = false
+    grams(text).foreach { g =>
+      any = true
+      var c = 0
+      while (c < k) {
+        scores(c) += logLik.getOrElse((c, g), defaults(c))
+        c += 1
+      }
+    }
+    if (!any) return Array.empty
+    // temper by length so probs aren't saturated 0/1 on long text
+    val n = math.max(1, text.length)
+    val p = Detectors.softmax(scores.map(_ / math.sqrt(n.toDouble)))
+    Detectors.sortPreds(langs.zip(p)).take(3)
+      .map { case (l, pr) => (l, TextStats.roundTo(pr, 3)) }
+  }
+}
+
+/** lingua-style: per-language top-M trigram rank profiles; score is the
+  * normalized out-of-place distance turned into a confidence, keeping
+  * entries with confidence > 0.05 (LI:434). */
+final class RankLid(val langs: Vector[String], topM: Int = 300) extends LangDetector {
+  private val profiles = new scala.collection.mutable.HashMap[String, Map[String, Int]]
+
+  private def grams(text: String): Seq[String] = {
+    val t = "" + text.toLowerCase + ""
+    (0 to t.length - 3).map(i => t.substring(i, i + 3))
+  }
+
+  def train(corpus: Seq[(String, String)]): this.type = {
+    langs.foreach { lang =>
+      val counts = new scala.collection.mutable.HashMap[String, Int]
+      corpus.iterator.filter(_._1 == lang).foreach { case (_, s) =>
+        grams(s).foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+      }
+      val ranked = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(topM)
+      profiles(lang) = ranked.zipWithIndex.map { case ((g, _), r) => g -> r }.toMap
+    }
+    this
+  }
+
+  override def predict(text: String): Array[(String, Double)] = {
+    if (text == null || text.length < 3) return Array.empty
+    val gs = grams(text)
+    if (gs.isEmpty) return Array.empty
+    val maxDist = topM.toDouble * gs.length
+    val raw = langs.map { lang =>
+      val prof = profiles(lang)
+      var dist = 0L
+      gs.foreach(g => dist += prof.getOrElse(g, topM))
+      lang -> (1.0 - dist / maxDist)
+    }
+    val z = raw.map(_._2).sum
+    if (z <= 0) return Array.empty
+    Detectors.sortPreds(raw.map { case (l, s) => (l, s / z) })
+      .filter(_._2 > 0.05)
+      .map { case (l, p) => (l, TextStats.roundTo(p, 3)) }
+  }
+}
+
+/** KenLM-style interpolated character n-gram LM (orders 1..3, add-k
+  * smoothed, fixed interpolation weights). `perplexity` is per-char;
+  * fluent text from any trained language scores low, digit/punct noise
+  * and out-of-family text scores high — the stage-1 quality signal. */
+final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
+    extends Serializable {
+  private val maxOrder = orderWeights.length
+  private val counts = new scala.collection.mutable.HashMap[String, Int]
+  private val contexts = new scala.collection.mutable.HashMap[String, Int]
+  private var charVocab = 64.0
+
+  def train(corpus: Seq[String]): this.type = {
+    val seen = new scala.collection.mutable.HashSet[Char]
+    corpus.foreach { s0 =>
+      val s = "" + s0.toLowerCase + ""
+      s.foreach(seen += _)
+      var n = 1
+      while (n <= maxOrder) {
+        var i = 0
+        while (i + n <= s.length) {
+          val g = s.substring(i, i + n)
+          counts(g) = counts.getOrElse(g, 0) + 1
+          val ctx = g.substring(0, n - 1)
+          contexts(ctx) = contexts.getOrElse(ctx, 0) + 1
+          i += 1
+        }
+        n += 1
+      }
+    }
+    charVocab = math.max(seen.size.toDouble, 16.0)
+    this
+  }
+
+  private def condProb(s: String, i: Int, order: Int): Double = {
+    val from = i - order + 1
+    if (from < 0) return 1.0 / charVocab
+    val g = s.substring(from, i + 1)
+    val ctx = g.substring(0, order - 1)
+    val c = counts.getOrElse(g, 0)
+    val cc = contexts.getOrElse(ctx, 0)
+    (c + 0.5) / (cc + 0.5 * charVocab)
+  }
+
+  /** Per-character perplexity; +Infinity-free (capped by smoothing). */
+  def perplexity(text: String): Double = {
+    if (text == null || text.isEmpty) return 1e6
+    val s = "" + text.toLowerCase + ""
+    var logSum = 0.0
+    var i = 1
+    while (i < s.length) {
+      var p = 0.0
+      var o = 1
+      while (o <= maxOrder) { p += orderWeights(o - 1) * condProb(s, i, o); o += 1 }
+      logSum += math.log(p)
+      i += 1
+    }
+    math.exp(-logSum / (s.length - 1))
+  }
+}
+
+/** The trained bundle shipped to executors via `Broadcast` — mirrors the
+  * reference's one-time per-process model load (LI:285-351). Training is
+  * deterministic and takes well under a second; `default` is a lazy
+  * process-wide singleton so `mapPartitions` closures can also fall back
+  * to local init (same bits either way). */
+final case class LidModels(
+    impressoFt: HashedLinearLid,
+    wpFt: HashedLinearLid,
+    langidNb: NaiveBayesLid,
+    linguaRank: RankLid,
+    charLm: CharLm) extends Serializable {
+
+  /** System name → detector, in the reference's LID-system order
+    * (LI:761-785). */
+  def systems: Seq[(String, LangDetector)] = Seq(
+    "impresso_ft" -> impressoFt,
+    "wp_ft" -> wpFt,
+    "langid_nb" -> langidNb,
+    "lingua_rank" -> linguaRank)
+}
+
+object LidModels {
+  lazy val default: LidModels = {
+    val corpus = LangCorpus.trainingCorpus()
+    // wp_ft analog: same architecture, independently seeded/shaped model
+    // (the reference's wp model covers more languages; ours shares the
+    // closed 5-language world, so it differs by capacity instead).
+    LidModels(
+      impressoFt = new HashedLinearLid(LangCorpus.Languages).train(corpus),
+      wpFt = new HashedLinearLid(LangCorpus.Languages, dim = 1 << 13,
+        epochs = 2, lr = 0.2).train(corpus),
+      langidNb = new NaiveBayesLid(LangCorpus.Languages).train(corpus),
+      linguaRank = new RankLid(LangCorpus.Languages).train(corpus),
+      charLm = new CharLm().train(corpus.map(_._2)))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+/** Stage 3 — compiled-regex PII/toxicity scrubbing of surviving
+  * transcripts (BASELINE.json.north_star). The regex family is compiled
+  * once per JVM (static vals), i.e. once per executor — the Spark analog
+  * of "compiled once per partition". The pure function here IS the
+  * normative spec: fixture gold text is produced by the same rules
+  * (FIXTURES.md §2.2), and unit tests pin hand-written expected strings.
+  *
+  * The reference has no scrub stage; its closest surface is the regex
+  * scalar family (SURVEY.md §2.10). Replacement preserves surrounding
+  * whitespace exactly so byte-equality is checkable.
+  */
+object Scrub {
+
+  val EmailTag = "<EMAIL>"
+  val PhoneTag = "<PHONE>"
+  val IdTag = "<ID>"
+  val ToxTag = "<TOX>"
+
+  private val Email: Pattern = Pattern.compile(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+
+  // International-ish phone numbers: optional +, then 3-5 groups of 1-4
+  // digits with mandatory [ .-] separators. Possessive quantifiers keep
+  // matching linear-time on adversarial digit floods (noise rows).
+  private val Phone: Pattern = Pattern.compile(
+    "(?<![\\w.+-])\\+?+\\d{1,4}+(?:[ .-]\\d{2,4}+){2,4}+(?![\\w-])")
+
+  // ID numbers: SSN-style NNN-NN-NNNN, IBAN-style CCNN AAAA ... (>= 12
+  // alnum after country code), and long bare digit runs (>= 9).
+  private val Ssn: Pattern = Pattern.compile("\\b\\d{3}-\\d{2}-\\d{4}\\b")
+  private val Iban: Pattern = Pattern.compile(
+    "\\b[A-Z]{2}\\d{2}(?: ?[A-Z0-9]{4}){3,7}\\b")
+  private val LongDigits: Pattern = Pattern.compile("\\b\\d{9,}\\b")
+
+  /** Toxicity lexicon. The fixtures plant these placeholder tokens; a
+    * production deployment loads a real lexicon file and broadcasts it —
+    * the matching machinery (single alternation regex, word-bounded,
+    * case-insensitive) is identical. */
+  val ToxLexicon: Vector[String] =
+    Vector("grobian", "schuft", "crapule", "canaille", "miscreant",
+      "villano", "halunke")
+
+  private val Tox: Pattern = Pattern.compile(
+    "\\b(" + ToxLexicon.map(Pattern.quote).mkString("|") + ")\\b",
+    Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  final case class Result(
+      text: String,
+      emails: Int,
+      phones: Int,
+      ids: Int,
+      tox: Int) {
+    def total: Int = emails + phones + ids + tox
+  }
+
+  private def replaceCount(p: Pattern, s: String, tag: String): (String, Int) = {
+    val m = p.matcher(s)
+    var n = 0
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(s, last, m.start()).append(tag)
+      last = m.end()
+      n += 1
+    }
+    if (n == 0) (s, 0)
+    else { sb.append(s, last, s.length); (sb.toString, n) }
+  }
+
+  /** Scrub order is fixed (emails → SSN → IBAN → phones → long digit runs
+    * → lexicon) so outputs are deterministic; earlier replacements cannot
+    * re-create later patterns because tags contain no digits/@. */
+  def scrub(text: String): Result = {
+    if (text == null) return Result(null, 0, 0, 0, 0)
+    val (t1, e) = replaceCount(Email, text, EmailTag)
+    val (t2, s) = replaceCount(Ssn, t1, IdTag)
+    val (t3, ib) = replaceCount(Iban, t2, IdTag)
+    val (t4, p) = replaceCount(Phone, t3, PhoneTag)
+    val (t5, ld) = replaceCount(LongDigits, t4, IdTag)
+    val (t6, x) = replaceCount(Tox, t5, ToxTag)
+    Result(t6, e, p, s + ib + ld, x)
+  }
+}
