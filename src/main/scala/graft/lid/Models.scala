@@ -229,7 +229,9 @@ final class RankLid(val langs: Vector[String], topM: Int = 300) extends LangDete
       val prof = profiles(lang)
       var dist = 0L
       gs.foreach(g => dist += prof.getOrElse(g, topM))
-      lang -> (1.0 - dist / maxDist)
+      // sharpen (^4) so the winner's normalized confidence is decisive —
+      // flat scores would never clear the stage-2 prob gate (0.5)
+      lang -> math.pow(math.max(0.0, 1.0 - dist / maxDist), 4)
     }
     val z = raw.map(_._2).sum
     if (z <= 0) return Array.empty

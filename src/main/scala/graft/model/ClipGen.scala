@@ -38,8 +38,12 @@ object ClipGen {
       val name = f"src$i%02d"
       val dominant = LangCorpus.Languages(i % LangCorpus.Languages.length)
       val dominance = if (i == 0) 0.97 else 0.72 + 0.02 * (i % 9)
-      val origAcc = if (i == 0) 1.0 else if (i % 7 == 3) 0.5 else 0.97
-      val w = 1.0 / math.pow(i + 1.0, 1.1)
+      // orig accuracies sit FAR from the 0.75 trust threshold so the
+      // measured overall_orig_lg_support can't flip a source's trust by
+      // small-sample noise (tail sources see only dozens of stats rows
+      // in the small test corpora)
+      val origAcc = if (i == 0) 1.0 else if (i % 7 == 3) 0.5 else 0.99
+      val w = 1.0 / math.pow(i + 1.0, 0.9)
       SourcePlan(name, dominant, dominance, 0.8, origAcc, w)
     }
     val z = raw.map(_.weight).sum
@@ -160,7 +164,12 @@ object ClipGen {
     val (goldDecision, goldKeep, decidedLg) = kind match {
       case Undecodable => ("undecodable", false, null)
       case EmptyText => ("dominant-by-len", false, src.dominant)
-      case Short => ("dominant-by-len", false, src.dominant)
+      case Short =>
+        // no LID arrays (stage-1 skipped), but a trusted orig_lg becomes a
+        // pseudo-prediction, so rule 2a fires on the 1-element set; only
+        // without it does the cascade fall through to rule 2c (EL:657-682)
+        if (origLg != null && trusted) ("all", false, origLg)
+        else ("dominant-by-len", false, src.dominant)
       case NoiseText => (null, false, null) // lg depends on detector noise; keep gate is alpha < 0.5 either way
       case SilentAudio =>
         (if (origWrongAndCounted) "voting" else "all", false, lang)

@@ -42,6 +42,7 @@ final case class Stage1Row(
     audio_ok: Boolean, // decodable + non-empty
     audio_rms: Double,
     n_samples: Int,
+    transcript: String, // carried through for stage-3 scrub
     ts: String,
     stage1_version: String)
 

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model._
+
+/** Stage 2 — the per-row decision cascade fused with the graft keep/drop
+  * gate (= `decide_lg`, lib/impresso_ensemble_lid.py:564-808; SURVEY.md
+  * §2.9; rules quoted per step below).
+  *
+  * Plan shape (scale notes): the per-source stats table is one row per
+  * source (~20 at test scale, ~10^4 at worst in production), so the J1
+  * join is a driver-collected `Broadcast[Map]` resolved inside one typed
+  * map — the data path has ZERO shuffles and stays in a single
+  * whole-stage-codegen'd stage. At 10^12 rows this is the only sane plan:
+  * the alternative (shuffle join on `source`) would move the full corpus.
+  */
+object Stage2 {
+
+  final case class Params(
+      thresholdConfidenceOrigLg: Double = Thresholds.ThresholdConfidenceOrigLg,
+      minimalTextLength: Int = Thresholds.Stage2MinimalTextLength,
+      minProb: Double = Thresholds.MinimalLidProbabilityStage2,
+      minVotingScore: Double = Thresholds.MinimalVotingScore,
+      alphaThreshold: Double = Thresholds.AlphabeticalRatioThresholdStage2,
+      dominantThreshold: Double = Thresholds.DominantLanguageThreshold,
+      weightLb: Double = Thresholds.WeightLbImpressoFt,
+      pplKeepMax: Double = Thresholds.PplKeepMax,
+      audioRmsMin: Double = Thresholds.AudioRmsMin,
+      admissible: Set[String] = Thresholds.AdmissibleLanguages)
+
+  /** Empty stats for sources unseen by stage 1b (cold start). */
+  def emptyStats(source: String): SourceStats = SourceStats(
+    source, Stage1b.LidNames, Thresholds.BoostedLids.toSeq.sorted,
+    Thresholds.BoostFactor, null, null, 0.0, None, 0L,
+    Map.empty, Map.empty, Map.empty, Map.empty, Map.empty, 0L,
+    Thresholds.FixedTs)
+
+  /** The cascade — pure, unit-testable without Spark. */
+  def decide(r: Stage1Row, stats: SourceStats, p: Params): DecisionRow = {
+
+    // ---- step 1: undecodable passthrough (img analog, EL:603-604)
+    if (!r.audio_ok) {
+      return finish(r, stats, p, lg = null, decision = "undecodable",
+        votes = Array.empty)
+    }
+
+    val systems = Seq(
+      "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
+      "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank)
+    val tops = Votes.top1s(systems)
+
+    // ---- step 2: orig_lg gating (EL:606-655): trust iff
+    // overall_orig_lg_support > threshold; trusted orig becomes a
+    // pseudo-LID prediction with prob = lg_support["orig_lg"][lang] | 1e-5
+    val origTrusted = r.orig_lg != null &&
+      stats.overall_orig_lg_support.exists(_ > p.thresholdConfidenceOrigLg)
+    val origPseudo: Option[Votes.Top1] =
+      if (origTrusted)
+        Some(Votes.Top1("orig_lg", r.orig_lg,
+          stats.lg_support.getOrElse("orig_lg", Map.empty)
+            .getOrElse(r.orig_lg, 1e-5)))
+      else None
+
+    val allLangs = (tops ++ origPseudo).map(_.lang).distinct.sorted
+
+    // ---- step 3: rule 2a "all" (EL:657-682)
+    if (allLangs.size == 1) {
+      return finish(r, stats, p, allLangs.head, "all", Array.empty)
+    }
+
+    // ---- step 4: rule 2b "all-but-impresso_ft" (EL:684-742)
+    val butFt = (tops.filterNot(_.lid == "impresso_ft") ++ origPseudo)
+      .map(_.lang).distinct
+    if (butFt.size == 1) {
+      val l = butFt.head
+      val inEnsembleDist = stats.lid_distributions
+        .getOrElse("ensemble", Map.empty).contains(l)
+      val lenRatioOk = r.alphabetical_ratio.exists(a =>
+        r.len * a >= p.minimalTextLength) // null-safe (quirk Q2)
+      if (!Set("de", "fr", "en", "it").contains(l) && inEnsembleDist && lenRatioOk)
+        return finish(r, stats, p, l, "all-but-impresso_ft", Array.empty)
+    }
+
+    // ---- step 5: rule 2c "dominant-by-len" (EL:744-758)
+    if (r.len < p.minimalTextLength) {
+      return finish(r, stats, p, stats.dominant_language, "dominant-by-len",
+        Array.empty)
+    }
+
+    // ---- step 6: weighted voting (EL:346-551; quirk Q4: orig not a voter)
+    val votes = Votes.stage2Votes(tops, r.alphabetical_ratio, stats,
+      p.minProb, p.alphaThreshold, p.dominantThreshold, p.weightLb).toArray
+
+    // ---- step 7: low-vote fallbacks (EL:773-796)
+    if (votes.isEmpty || votes.head.vote < p.minVotingScore) {
+      return finish(r, stats, p, stats.dominant_language,
+        "dominant-by-lowvote", votes)
+    }
+
+    // ---- step 8: "voting" (EL:798-808); tie-break already deterministic
+    // (score desc, lang asc) per the FIXTURES.md contract
+    finish(r, stats, p, votes.head.lang, "voting", votes)
+  }
+
+  /** Keep/drop fusion — gates in priority order; first failing gate is
+    * the drop reason (BASELINE.json.north_star). */
+  private def finish(r: Stage1Row, stats: SourceStats, p: Params,
+      lg: String, decision: String, votes: Array[LangVote]): DecisionRow = {
+    val dropReason: String =
+      if (!r.audio_ok) "undecodable_audio"
+      else if (r.audio_rms < p.audioRmsMin) "silent_audio"
+      else if (r.len == 0) "no_text"
+      else if (r.alphabetical_ratio.isEmpty) "short_text" // stage-1 invalid
+      else if (r.alphabetical_ratio.exists(_ < p.alphaThreshold)) "low_alpha"
+      else if (r.ppl.exists(_ > p.pplKeepMax)) "high_ppl"
+      else if (lg == null) "no_lang"
+      else if (!p.admissible.contains(lg)) "inadmissible_lang"
+      else null
+    DecisionRow(
+      clip_id = r.clip_id, source = r.source, year = r.year, len = r.len,
+      orig_lg = r.orig_lg, alphabetical_ratio = r.alphabetical_ratio,
+      lg = lg, lg_decision = decision, votes = votes, ppl = r.ppl,
+      keep = dropReason == null, drop_reason = dropReason,
+      transcript = r.transcript, ts = Thresholds.FixedTs)
+  }
+
+  def apply(spark: SparkSession, s1: Dataset[Stage1Row],
+      stats: Seq[SourceStats], p: Params = Params()): Dataset[DecisionRow] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(stats.map(s => s.source -> s).toMap)
+    s1.map { r =>
+      val st = bc.value.getOrElse(r.source, emptyStats(r.source))
+      decide(r, st, p)
+    }
+  }
+}

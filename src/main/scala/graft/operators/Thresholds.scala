@@ -29,9 +29,10 @@ object Thresholds {
   val Stage2MinimalTextLength = 20 // EL:916-924 (rules 2b/2c)
 
   // ---- graft keep/drop fusion (BASELINE.json.north_star)
-  /** Perplexity keep ceiling — calibrated between fluent-max and
-    * noise-min of the char LM (LidModelSpec pins the margin). */
-  val PplKeepMax = 14.0
+  /** Perplexity keep ceiling — calibrated between fluent-max (incl.
+    * PII-laden rows, whose digit/@ chars raise ppl) and noise-min of the
+    * char LM (LidModelSpec pins the margin). */
+  val PplKeepMax = 20.0
   /** Minimum decoded-audio RMS; 0 ⇒ silent clip ⇒ drop. */
   val AudioRmsMin = 10.0
   /** Admissible final languages (closed world of the graft corpus). */

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import graft.model._
+import graft.operators._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val N = 4000L
+
+  lazy val clipsDs = Pipeline.clips(spark, N, partitions = 4)
+  lazy val goldDs = Pipeline.gold(spark, N)
+  lazy val result = Pipeline.run(spark, clipsDs)
+
+  test("stage1: every clip passes through (invalid rows not dropped)") {
+    assert(result.stage1.count() == N)
+  }
+
+  test("stage1b: stats per source with sane fields") {
+    val stats = result.stats
+    assert(stats.nonEmpty && stats.size <= ClipGen.sources.size)
+    stats.foreach { s =>
+      val plan = ClipGen.sources.find(_.name == s.source).get
+      assert(s.n > 0, s"source ${s.source} has n=0")
+      assert(s.dominant_language == plan.dominant,
+        s"${s.source}: dominant ${s.dominant_language} != planted ${plan.dominant}")
+      // planted orig accuracy far from the 0.75 trust boundary
+      val support = s.overall_orig_lg_support.getOrElse(0.0)
+      if (plan.origAccuracy > 0.75) assert(support > 0.75,
+        s"${s.source}: support $support but planted acc ${plan.origAccuracy}")
+      else assert(support < 0.75,
+        s"${s.source}: support $support but planted acc ${plan.origAccuracy}")
+      // relfreq denominator is n (A4 note): ensemble dist sums to <= 1
+      val ensDist = s.lid_distributions.getOrElse("ensemble", Map.empty)
+      assert(ensDist.values.sum <= 1.0 + 1e-6)
+    }
+  }
+
+  test("keep/drop F1 >= 0.99 vs gold (BASELINE.md target)") {
+    val f1 = Eval.keepF1(spark, result.decisions, goldDs)
+    info(f1.toString)
+    assert(f1.f1 >= 0.99, f1)
+  }
+
+  test("language accuracy on KEPT rows >= 0.995") {
+    // kept rows are the fluent ones; short/undecodable rows legitimately
+    // carry dominant/null lg per the cascade, so they are excluded here
+    import spark.implicits._
+    val kept = result.decisions.filter($"keep")
+    val acc = Eval.langAccuracy(spark, kept.as[DecisionRow], goldDs)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    info(acc.toString)
+    assert(acc("_ALL_") >= 0.995, acc)
+  }
+
+  test("scrubbed transcripts byte-equal gold post-scrub text") {
+    val (eq, total) = Eval.scrubEquality(spark, result.scrubbed, goldDs)
+    info(s"$eq / $total byte-equal")
+    assert(total > 0 && eq == total)
+  }
+
+  test("decision codes match gold where gold pins one (>= 0.98 agreement)") {
+    val cells = Eval.decisionAgreement(spark, result.decisions, goldDs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val total = cells.map(_._2).sum
+    val agree = cells.filter(c => c._1._1 == c._1._2).map(_._2).sum
+    info(s"agreement $agree/$total; confusion=${cells.filter(c => c._1._1 != c._1._2).toSeq}")
+    assert(agree.toDouble / total >= 0.98)
+  }
+
+  test("metrics: per-partition lineage rows cover all inputs") {
+    val m = Pipeline.metrics(spark, result.decisions).collect()
+    assert(m.map(_.rows_in).sum == N)
+    val kept = result.decisions.filter(_.keep).count()
+    assert(m.map(_.rows_out).sum == kept)
+    // drop reasons account for every dropped row
+    val dropped = m.flatMap(_.drop_reasons.toSeq).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    assert(dropped.values.sum == N)
+    info(dropped.toString)
+  }
+}
