@@ -55,54 +55,40 @@ object Pipeline {
     Result(s1, stats, decisions, scrubbed)
   }
 
-  /** Per-partition lineage + metrics (FIXTURES.md §2.4) computed from the
-    * decision output — drop-reason counts and a perplexity histogram per
-    * (partition, source). */
+  /** Per-partition lineage + metrics (FIXTURES.md §2.4): drop-reason
+    * counts and a perplexity histogram per (partition, source).
+    * Lineage rows are inherently per-partition, so this is a ZERO-shuffle
+    * `mapPartitions` fold — each task emits its own counter rows. */
   def metrics(spark: SparkSession,
       decisions: Dataset[DecisionRow]): Dataset[MetricsRow] = {
     import spark.implicits._
     val bins = Thresholds.PplBins
-    val binCol = {
-      // width_bucket-style binning of ppl into fixed bins
-      val p = coalesce($"ppl", lit(Double.MaxValue))
-      bins.zipWithIndex.foldLeft(lit(bins.length)) { case (acc, (b, i)) =>
-        when(p <= b, i).otherwise(acc)
+    decisions.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      final class Acc {
+        var rowsIn = 0L
+        var rowsOut = 0L
+        val reasons = new scala.collection.mutable.HashMap[String, Long]
+        val hist = new Array[Long](bins.length + 1)
+      }
+      val bySource = new scala.collection.mutable.HashMap[String, Acc]
+      it.foreach { d =>
+        val a = bySource.getOrElseUpdate(d.source, new Acc)
+        a.rowsIn += 1
+        if (d.keep) a.rowsOut += 1
+        val reason = if (d.drop_reason == null) "kept" else d.drop_reason
+        a.reasons.update(reason, a.reasons.getOrElse(reason, 0L) + 1L)
+        val p = d.ppl.getOrElse(Double.MaxValue)
+        val bin = bins.indexWhere(p <= _) match {
+          case -1 => bins.length
+          case i => i
+        }
+        a.hist(bin) += 1
+      }
+      bySource.iterator.map { case (src, a) =>
+        MetricsRow(pid, src, a.rowsIn, a.rowsOut, a.reasons.toMap,
+          a.hist, watermark = pid.toString, ts = Thresholds.FixedTs)
       }
     }
-    // All three aggregations reduce to counters before the exchange
-    // (hash agg with map-side partials) — never collect raw rows.
-    val tagged = decisions
-      .withColumn("pid", spark_partition_id())
-      .withColumn("bin", binCol)
-      .withColumn("reason", coalesce($"drop_reason", lit("kept")))
-
-    val totals = tagged.groupBy($"pid", $"source").agg(
-      count(lit(1)).as("rows_in"),
-      sum(when($"keep", 1L).otherwise(0L)).as("rows_out"))
-    val reasons = tagged.groupBy($"pid", $"source", $"reason").count()
-      .groupBy($"pid", $"source")
-      .agg(map_from_entries(collect_list(struct($"reason", $"count")))
-        .as("drop_reasons"))
-    val hist = tagged.groupBy($"pid", $"source", $"bin").count()
-      .groupBy($"pid", $"source")
-      .agg(map_from_entries(collect_list(struct($"bin", $"count")))
-        .as("bin_counts"))
-
-    totals.join(reasons, Seq("pid", "source"))
-      .join(hist, Seq("pid", "source"))
-      .map { row =>
-        val binsArr = new Array[Long](bins.length + 1)
-        row.getMap[Int, Long](row.fieldIndex("bin_counts"))
-          .foreach { case (b, c) => binsArr(b) = c }
-        MetricsRow(
-          row.getInt(row.fieldIndex("pid")),
-          row.getString(row.fieldIndex("source")),
-          row.getLong(row.fieldIndex("rows_in")),
-          row.getLong(row.fieldIndex("rows_out")),
-          row.getMap[String, Long](row.fieldIndex("drop_reasons")).toMap,
-          binsArr,
-          watermark = row.getInt(row.fieldIndex("pid")).toString,
-          ts = Thresholds.FixedTs)
-      }
   }
 }

@@ -1,13 +1,389 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Dedup, Similarity}
+
+/** Driver contract (SURVEY.md §7 + TESTDATA.md): one `queries` entry per
+  * implemented operator from SURVEY.md §2 plus the training-data-pipeline
+  * surface (dedup / similarity / text analysis), each with DuckDB oracle
+  * SQL where SQL-expressible. Column names and value rounding are kept
+  * IDENTICAL between the Spark expression and the oracle so the driver's
+  * sorted-column hash compare is stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // Shared pipeline run per (sfDir) — the pipeline_* queries expose the
+  // clip-pipeline stages; one run feeds all of them.
+  private val pipeCache =
+    scala.collection.mutable.HashMap.empty[String, Pipeline.Result]
+  private def pipe(s: SparkSession): Pipeline.Result = synchronized {
+    pipeCache.getOrElseUpdate("default", {
+      val clips = Pipeline.clips(s, 2000L, partitions = 8)
+      Pipeline.run(s, clips)
+    })
+  }
+
+  /** Flagship: end-to-end keep/drop decisions on a synthesized clip
+    * corpus (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    pipe(spark).decisions.select($"clip_id", $"source", $"lg",
+      $"lg_decision", $"keep", $"drop_reason")
+  }
+
+  // ------------------------------------------------------ shared columns
+  private def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[\\W_\\d]+", "")).cast("double") / length(c)
+
+  /** Deterministic "second LID system" over documents (for the
+    * disagreement/eval operator family — A9/A14/A15). */
+  private def predCol: Column =
+    when(col("n_chars") % 5 === 0, lit("en")).otherwise(col("lang"))
+  private val predSql =
+    "CASE WHEN n_chars % 5 = 0 THEN 'en' ELSE lang END"
+
+  private def normTextSql(c: String) =
+    s"lower(regexp_replace(trim($c), '\\s+', ' ', 'g'))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- P: per-row scalar surface (SURVEY §2.2)
+    "p1_alpha_ratio" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        round(alphaRatio(col("text")), 4).as("alpha_ratio"))),
+    "p2_base_info" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), length(col("text")).as("len"),
+        col("lang").as("orig_lg"), col("source"))),
+    "p5_id_parse" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        substring(col("source"), 4, 10).cast("int").as("src_num"))),
+
+    // ---------------- F: filters (SURVEY §2.3)
+    "f1_valid_gate" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        (col("n_chars") >= 20 && alphaRatio(col("text")) >= 0.5)
+          .as("valid"))),
+    "f4_stats_filter" -> ((s, d) => t(s, d, "documents")
+      .filter(alphaRatio(col("text")) >= 0.5 &&
+        col("n_chars") * alphaRatio(col("text")) >= 200)
+      .select(col("doc_id"))),
+
+    // ---------------- A: aggregations (SURVEY §2.5)
+    "a1_type_dist" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))),
+    "a2_len_hist" -> ((s, d) => t(s, d, "documents")
+      .groupBy(floor(col("n_chars") / 50.0).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))),
+    "a4_lang_dist" -> ((s, d) => {
+      val cnts = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      cnts.withColumn("relfreq", round(col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("source")))
+          .cast("double"), 4))
+    }),
+    "a12_dominant" -> ((s, d) => {
+      val cnts = t(s, d, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+      cnts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("dominant_lang"), col("cnt"))
+    }),
+    "a9_disagreement" -> ((s, d) => t(s, d, "documents")
+      .withColumn("pred", predCol)
+      .filter(col("pred") =!= col("lang"))
+      .groupBy(concat(col("lang"), lit("->"), col("pred")).as("key"))
+      .agg(count(lit(1)).as("cnt"))),
+    "a15_eval_accuracy" -> ((s, d) => {
+      val joined = t(s, d, "documents").withColumn("pred", predCol)
+      val per = joined.groupBy(col("lang").as("gold_lg")).agg(
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("correct"),
+        count(lit(1)).as("total"))
+      val all = joined.agg(
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+          .as("correct"),
+        count(lit(1)).as("total"))
+        .select(lit("_ALL_").as("gold_lg"), col("correct"), col("total"))
+      per.union(all).withColumn("accuracy",
+        round(col("correct").cast("double") / col("total"), 4))
+    }),
+
+    // ---------------- T: sorts / top-k (SURVEY §2.7)
+    "t5_top_disagreements" -> ((s, d) => t(s, d, "documents")
+      .withColumn("pred", predCol)
+      .filter(col("pred") =!= col("lang"))
+      .groupBy(concat(col("lang"), lit("->"), col("pred")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc).limit(5)),
+
+    // ---------------- U: set ops (SURVEY §2.8)
+    "u1_distinct_langs" -> ((s, d) => t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(array_join(array_sort(collect_set(col("lang"))), ",")
+        .as("langs"))),
+
+    // ---------------- relational core (lineitem/orders/customer/...)
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))),
+    "q3_revenue_topk" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date")
+          .as("o_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc).limit(10)
+    }),
+    "q5_region_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // ---------------- J: joins (SURVEY §2.6)
+    "j1_broadcast_join" -> ((s, d) => {
+      val o = t(s, d, "orders"); val c = t(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+    "j2_semi_join" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val big = t(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+    }),
+    "j2_anti_join_resume" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val processed = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+      docs.join(processed, Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_unprocessed"))
+    }),
+
+    // ---------------- W: windows
+    "w1_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running"))
+    }),
+    "w2_topn_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").filter(col("o_custkey") < 200)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // ---------------- E: events (time windows / sessions / json)
+    "e1_tumbling_window" -> ((s, d) => t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))),
+    "e2_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      // ts is TIMESTAMP_NTZ in the parquet; cast for unix_micros (session
+      // tz is pinned UTC so this matches DuckDB's naive epoch_us)
+      val us = unix_micros(col("ts").cast("timestamp"))
+      t(s, d, "events").filter(col("user_id") < 100)
+        .withColumn("prev", lag(us, 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || us - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+    "e3_json_extract" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k"))),
+
+    // ---------------- dedup family (training-data ops)
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxShingleDf = 100L)),
+    "dedup_minhash_lsh" -> ((s, d) => // approximate — rows-only check
+      Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.5)),
+    "dedup_simhash" -> ((s, d) => // approximate — rows-only check
+      Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
+        n = 4, maxHamming = 10)),
+
+    // ---------------- similarity search (embeddings)
+    "sim_topk_bruteforce" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)),
+    "sim_ann_lsh" -> ((s, d) => // approximate — rows-only check
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), dim = 64, k = 5, planes = 6)),
+
+    // ---------------- text analysis (training-data ops)
+    "text_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .as("n_re"))),
+    "text_quality" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        round(length(regexp_replace(col("text"), "[\\w\\s]+", ""))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round(length(regexp_replace(col("text"), "[^0-9]+", ""))
+          .cast("double") / length(col("text")), 4).as("digit_ratio"),
+        round(size(expr(
+          "regexp_extract_all(lower(text), '\\\\b(the|and|of|to|in|a)\\\\b', 0)"))
+          .cast("double") /
+          size(split(trim(col("text")), "\\s+")), 4).as("stop_ratio"))),
+    "text_langid_heuristic" -> ((s, d) => {
+      val en = size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(the|and|of|is|was)\\\\b', 0)"))
+      val fr = size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(le|la|les|et|des)\\\\b', 0)"))
+      val de = size(expr(
+        "regexp_extract_all(lower(text), '\\\\b(der|die|das|und|nicht)\\\\b', 0)"))
+      t(s, d, "documents").select(col("doc_id"),
+        when(en >= fr && en >= de, "en")
+          .when(fr >= de, "fr").otherwise("de").as("pred_lang"))
+    }),
+    "text_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        substring(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))),
+          1, 16).as("fp"))),
+
+    // ---------------- clip pipeline stages (non-SQL; rows-only checks)
+    "pipeline_stage1" -> ((s, _) => {
+      val r = pipe(s)
+      r.stage1.select(col("clip_id"), col("source"), col("len"),
+        col("alphabetical_ratio"), col("ppl"), col("audio_ok"))
+    }),
+    "pipeline_decisions" -> ((s, _) => {
+      val r = pipe(s)
+      r.decisions.select(col("clip_id"), col("lg"), col("lg_decision"),
+        col("keep"), col("drop_reason"))
+    }),
+    "pipeline_scrubbed" -> ((s, _) => {
+      val r = pipe(s)
+      r.scrubbed.toDF()
+    }),
+    "pipeline_metrics" -> ((s, _) => {
+      val r = pipe(s)
+      Pipeline.metrics(s, r.decisions).toDF()
+        .select(col("partition_id"), col("source"), col("rows_in"),
+          col("rows_out"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_alpha_ratio" ->
+      """SELECT doc_id, round(length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio FROM documents""",
+    "p2_base_info" ->
+      "SELECT doc_id, length(text) AS len, lang AS orig_lg, source FROM documents",
+    "p5_id_parse" ->
+      "SELECT doc_id, CAST(substr(source, 4, 10) AS INTEGER) AS src_num FROM documents",
+    "f1_valid_gate" ->
+      """SELECT doc_id, (n_chars >= 20 AND length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5) AS valid FROM documents""",
+    "f4_stats_filter" ->
+      """SELECT doc_id FROM documents WHERE length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5 AND n_chars * (length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE)) >= 200""",
+    "a1_type_dist" ->
+      "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    "a2_len_hist" ->
+      "SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS cnt FROM documents GROUP BY 1",
+    "a4_lang_dist" ->
+      "SELECT source, lang, cnt, round(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY source) AS DOUBLE), 4) AS relfreq FROM (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2) x",
+    "a12_dominant" ->
+      "SELECT source, lang AS dominant_lang, cnt FROM (SELECT source, lang, count(*) AS cnt, row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rn FROM documents GROUP BY 1, 2) x WHERE rn = 1",
+    "a9_disagreement" ->
+      s"SELECT lang || '->' || $predSql AS key, count(*) AS cnt FROM documents WHERE $predSql <> lang GROUP BY 1",
+    "a15_eval_accuracy" ->
+      s"""WITH j AS (SELECT lang, $predSql AS pred FROM documents),
+          per AS (SELECT lang AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j GROUP BY 1),
+          a AS (SELECT '_ALL_' AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j)
+          SELECT gold_lg, correct, total, round(CAST(correct AS DOUBLE) / total, 4) AS accuracy FROM (SELECT * FROM per UNION ALL SELECT * FROM a) u""",
+    "t5_top_disagreements" ->
+      s"SELECT lang || '->' || $predSql AS key, count(*) AS cnt FROM documents WHERE $predSql <> lang GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 5",
+    "u1_distinct_langs" ->
+      "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs FROM documents GROUP BY source",
+    "q1_agg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY 1, 2",
+    "q3_revenue_topk" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10",
+    "q5_region_revenue" ->
+      "SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1",
+    "j1_broadcast_join" ->
+      "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+    "j2_semi_join" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) GROUP BY 1",
+    "j2_anti_join_resume" ->
+      "SELECT source, count(*) AS n_unprocessed FROM documents d WHERE NOT EXISTS (SELECT 1 FROM documents p WHERE p.doc_id % 3 = 0 AND p.doc_id = d.doc_id) GROUP BY 1",
+    "w1_running_sum" ->
+      "SELECT o_orderkey, o_custkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM orders WHERE o_custkey < 100",
+    "w2_topn_per_key" ->
+      "SELECT o_custkey, rn, o_orderkey, price FROM (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders WHERE o_custkey < 200) x WHERE rn <= 2",
+    "e1_tumbling_window" ->
+      "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt, round(sum(value), 2) AS val FROM events GROUP BY 1, 2",
+    "e2_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS us, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM events WHERE user_id < 100)
+         SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, count(*) AS n_events FROM x GROUP BY 1""",
+    "e3_json_extract" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
+    "dedup_exact" ->
+      s"SELECT md5(${normTextSql("text")}) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs FROM documents GROUP BY 1",
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 2, 1)),
+          rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+          pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY 1),
+          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common FROM pr x JOIN pr y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+          SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
+          FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+          WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "sim_topk_bruteforce" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),
+          scored AS (SELECT qid, vec_id AS vid,
+            round(list_dot_product(qvec, vec) / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))), 4) AS sim
+            FROM v CROSS JOIN q WHERE vec_id <> qid),
+          ranked AS (SELECT qid, vid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS rank FROM scored)
+          SELECT qid, rank, vid, sim FROM ranked WHERE rank <= 5""",
+    "text_tokens" ->
+      """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_ws, length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re FROM documents""",
+    "text_quality" ->
+      """SELECT doc_id,
+          round(length(regexp_replace(text, '[\w\s]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+          round(length(regexp_replace(text, '[^0-9]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
+          round(length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS stop_ratio
+          FROM documents""",
+    "text_langid_heuristic" ->
+      """SELECT doc_id, CASE
+          WHEN length(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) >= length(regexp_extract_all(lower(text), '\b(le|la|les|et|des)\b'))
+           AND length(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) >= length(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) THEN 'en'
+          WHEN length(regexp_extract_all(lower(text), '\b(le|la|les|et|des)\b')) >= length(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht)\b')) THEN 'fr'
+          ELSE 'de' END AS pred_lang FROM documents""",
+    "text_fingerprint" ->
+      s"SELECT doc_id, substr(md5(${normTextSql("text")}), 1, 16) AS fp FROM documents")
 }

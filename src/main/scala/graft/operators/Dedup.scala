@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data pipeline, over any
+  * table with (id, text) columns. Four tiers, cheapest first:
+  *
+  *  1. [[exact]] — hash-groupBy on a text digest. One shuffle keyed by
+  *     the digest; at scale the digest (16 bytes) shuffles, never the
+  *     text (column pruning keeps text out of the exchange).
+  *  2. [[ngramJaccard]] — exact Jaccard over char shingles via an
+  *     inverted shingle index (explode → self-join on shingle →
+  *     common-count). Document-frequency pruning caps the join fan-out:
+  *     stop-shingles (df > maxShingleDf) are dropped, which is what keeps
+  *     the self-join from going quadratic on boilerplate at scale.
+  *  3. [[minHashLsh]] — MinHash signatures + banded LSH. Signature is
+  *     computed row-locally (one pass over shingles, k permutations);
+  *     candidates come from groupBy on (band, bandHash) buckets — only
+  *     bucket-mates join, so the shuffle is O(n·bands), not O(n²).
+  *  4. [[simHash]] — 64-bit SimHash with hamming-ball candidate search
+  *     via 4×16-bit chunk buckets (any pair within hamming distance 3
+  *     shares at least one exact chunk by pigeonhole).
+  *
+  * All return candidate/duplicate PAIRS (a < b) so callers choose their
+  * keep policy; [[exact]] also returns the keeper directly.
+  */
+object Dedup {
+
+  private def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Exact dedup: one row per distinct text with the minimal id as
+    * keeper and the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normText(col(textCol))).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** Char-shingle set per row, distinct, as a DataFrame column. */
+  def shingleCol(textCol: Column, n: Int): Column = {
+    val norm = normText(textCol)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => substring(norm, 1, Int.MaxValue).substr(i, lit(n))))
+  }
+
+  /** N-gram Jaccard pairs >= threshold over the DF-PRUNED shingle space:
+    * shingles appearing in more than `maxShingleDf` docs (stop-shingles —
+    * boilerplate, shared vocabulary) are removed BEFORE both the set
+    * sizes and the intersection counts, so the similarity is exact over
+    * the pruned space. The pruning is what bounds the inverted-index
+    * self-join: without it a shared-vocab corpus goes quadratic
+    * (every doc pairs with every doc through ubiquitous shingles). */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = 100L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inv = df.select(col(idCol).cast("long").as("id"),
+      explode(shingleCol(col(textCol), n)).as("shingle"))
+    val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" <= maxShingleDf).select($"shingle")
+    val pruned = inv.join(rare, Seq("shingle"))
+    val sz = pruned.groupBy($"id").agg(count(lit(1)).as("sz"))
+    val a = pruned.select($"id".as("a"), $"shingle")
+    val b = pruned.select($"id".as("b"), $"shingle")
+    a.join(b, Seq("shingle"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("common"))
+      .join(sz.select($"id".as("a"), $"sz".as("sza")), Seq("a"))
+      .join(sz.select($"id".as("b"), $"sz".as("szb")), Seq("b"))
+      .withColumn("jaccard",
+        round($"common" / ($"sza" + $"szb" - $"common"), 4))
+      .filter($"jaccard" >= threshold)
+      .select($"a", $"b", $"jaccard")
+  }
+
+  // ------------------------------------------------------------- MinHash
+  /** Deterministic permutation constants for h_i(x) = (a_i·x + b_i) mod p
+    * over a 61-bit Mersenne prime — standard MinHash construction. */
+  private val P = (1L << 61) - 1
+  private def perm(i: Int): (Long, Long) = {
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    ((mix(2L * i + 1).abs % (P - 1)) + 1, mix(2L * i + 2).abs % P)
+  }
+
+  /** Row-local MinHash signature of a shingle set. Pure Scala — called
+    * from a typed map, one pass over shingles for all k hashes. */
+  def signature(shingles: Iterable[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val ps = Array.tabulate(k)(perm)
+    shingles.foreach { s =>
+      // FNV-1a 64 over chars as the base hash
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      val x = (h & Long.MaxValue) % P
+      var j = 0
+      while (j < k) {
+        val (aj, bj) = ps(j)
+        // (a*x + b) mod p without overflow: use Math.multiplyHigh-free
+        // BigInt-free route via unsigned 128 emulation is overkill here —
+        // a, x < 2^61 so a*x overflows; fold with % via BigInt once per
+        // shingle is too slow, so split x into hi/lo 31-bit halves.
+        val xHi = x >>> 31
+        val xLo = x & 0x7fffffffL
+        val t = ((aj % P) * xHi % P << 31) % P
+        val v = (t + aj * xLo % P + bj) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+    sig
+  }
+
+  final case class SigRow(id: Long, sig: Array[Long])
+
+  /** MinHash + banded LSH near-dup candidate pairs with estimated
+    * similarity >= threshold (estimate = fraction of equal signature
+    * slots, verified against the banding false positives). */
+  def minHashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0)
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        SigRow(id, signature(graft.lid.TextStats.shingles(text, n), numHashes))
+      }
+    // band → bucket key; only bucket-mates meet in the join
+    val buckets = sigs.select($"id", $"sig",
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band", "bucket")))
+    val a = buckets.select($"band", $"bucket", $"id".as("a"), $"sig".as("siga"))
+    val b = buckets.select($"band", $"bucket", $"id".as("b"), $"sig".as("sigb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter($"a" < $"b")
+      .select($"a", $"b", $"siga", $"sigb").distinct()
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with($"siga", $"sigb",
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v) / lit(numHashes.toDouble), 4))
+      .select($"a", $"b", $"est_jaccard")
+      .filter($"est_jaccard" >= threshold)
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** Row-local 64-bit SimHash over char shingles. */
+  def simHash64(text: String, n: Int = 4): Long = {
+    val acc = new Array[Int](64)
+    graft.lid.TextStats.shingles(text, n).foreach { s =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (<= 3 guaranteed found:
+    * 4 chunks of 16 bits; pigeonhole => some chunk equal). */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df.select(col(idCol).cast("long").as("id"),
+      col(textCol).as("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simHash64(t, n)) }
+      .toDF("id", "sh")
+    val chunked = hashes.select($"id", $"sh",
+      posexplode(array((0 until 4).map(c =>
+        shiftright($"sh", c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "ck")))
+    val a = chunked.select($"chunk", $"ck", $"id".as("a"), $"sh".as("sha"))
+    val b = chunked.select($"chunk", $"ck", $"id".as("b"), $"sh".as("shb"))
+    a.join(b, Seq("chunk", "ck")).filter($"a" < $"b")
+      .select($"a", $"b", $"sha", $"shb").distinct()
+      .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
+      .filter($"hamming" <= maxHamming)
+      .select($"a", $"b", $"hamming")
+  }
+}

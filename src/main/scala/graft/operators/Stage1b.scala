@@ -1,25 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.model._
 
 /** Stage 1b — per-source statistics (= `lib/newspaper_statistics.py`,
   * SURVEY.md §2.5 A1-A12, §3.2).
   *
-  * Plan shape (scale notes):
-  *  - row-local work (top-1 extraction, the A5/A6 ensemble vote + tie
-  *    kill) happens in a typed projection BEFORE any exchange — votes
-  *    never cross rows;
-  *  - ONE logical shuffle family keyed by `source` (+ lid/lang for the
-  *    distribution counts); all aggregates are hash aggregates with
-  *    map-side partial aggregation, so the exchange carries counters,
-  *    not rows;
-  *  - the result is one row per source (tiny), which stage 2 broadcasts.
-  *  - the A4 relfreq denominator is `n` (valid-item count) for ALL
-  *    systems, not the per-LID total (NS:583-585) — hence the explicit
-  *    join with `n` below.
+  * Plan shape (scale notes): ONE narrow pass + one tiny exchange.
+  * Each input partition folds its rows into per-source counter bundles
+  * (hand-written map-side combine — the A5/A6 ensemble vote and top-1
+  * extraction are row-local and happen inside the fold), so the shuffle
+  * carries at most (#partitions × #sources) counter rows, never data
+  * rows. A DataFrame explode/groupBy/join bundle computes the same thing
+  * but costs several exchanges + plans; at 10^12 rows both move only
+  * counters, but this shape also keeps the job count constant.
+  *
+  * The A4 relfreq denominator is `n` (valid-row count) for ALL systems,
+  * not the per-LID total (NS:583-585) — honored in `finish` below.
   */
 object Stage1b {
 
@@ -32,161 +29,148 @@ object Stage1b {
       minVoteScore: Double = Thresholds.MinimalVoteScore,
       admissible: Set[String] = null)
 
-  /** Row after the row-local ensemble vote; `top1` carries each system's
-    * top-1 lang plus the `orig_lg` pseudo-system and, when decided, the
-    * `ensemble` pseudo-system (they appear in the reference's
-    * lid_distributions too, NS:358-386, FIXTURES.md §1.3). */
-  final case class EnsembleRow(
-      source: String,
-      orig_lg: String,
-      ensemble: String,
-      top1: Map[String, String])
-
   val LidNames: Seq[String] =
     Seq("impresso_ft", "wp_ft", "langid_nb", "lingua_rank")
 
-  def ensembleRow(r: Stage1Row, p: Params): EnsembleRow = {
+  private val Sep = ""
+
+  /** Mergeable per-source counter bundle (compound `lidlang` keys
+    * keep the encoder to flat string-keyed maps). */
+  final case class SrcAgg(
+      source: String,
+      n: Long, // valid rows (A3)
+      typeDist: Map[String, Long], // over ALL rows (A1)
+      lidCnt: Map[String, Long], // (lid,lang) absolute counts (A4)
+      lidSupp: Map[String, Long], // top1==ensemble counts (A8)
+      origTotal: Long, // A9/A10
+      origSupp: Long,
+      disagree: Map[String, Long]) { // "orig->ens" (A9)
+
+    def merge(o: SrcAgg): SrcAgg = {
+      def m(a: Map[String, Long], b: Map[String, Long]) =
+        b.foldLeft(a) { case (acc, (k, v)) =>
+          acc.updated(k, acc.getOrElse(k, 0L) + v)
+        }
+      SrcAgg(source, n + o.n, m(typeDist, o.typeDist), m(lidCnt, o.lidCnt),
+        m(lidSupp, o.lidSupp), origTotal + o.origTotal,
+        origSupp + o.origSupp, m(disagree, o.disagree))
+    }
+  }
+
+  private final class MutAgg {
+    var n = 0L
+    val typeDist = new scala.collection.mutable.HashMap[String, Long]
+    val lidCnt = new scala.collection.mutable.HashMap[String, Long]
+    val lidSupp = new scala.collection.mutable.HashMap[String, Long]
+    var origTotal = 0L
+    var origSupp = 0L
+    val disagree = new scala.collection.mutable.HashMap[String, Long]
+    def bump(m: scala.collection.mutable.HashMap[String, Long], k: String): Unit =
+      m.update(k, m.getOrElse(k, 0L) + 1L)
+    def freeze(source: String): SrcAgg =
+      SrcAgg(source, n, typeDist.toMap, lidCnt.toMap, lidSupp.toMap,
+        origTotal, origSupp, disagree.toMap)
+  }
+
+  /** Fold one row into its source's accumulator. */
+  private def accumulate(acc: MutAgg, r: Stage1Row, p: Params): Unit = {
+    // A1 — type distribution over ALL rows (img analog incl., NS:479)
+    val tp =
+      if (!r.audio_ok) "undecodable"
+      else if (r.audio_rms == 0.0) "silent"
+      else "clip"
+    acc.bump(acc.typeDist, tp)
+
+    // F3 + F4 (NS:481-495)
+    val valid = r.audio_ok && r.audio_rms > 0.0 &&
+      r.alphabetical_ratio.exists(a =>
+        a >= p.alphaMin && r.len * a >= p.minimalTextLength)
+    if (!valid) return
+    acc.n += 1
+
     val tops = Votes.top1s(Seq(
       "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
       "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank))
     val ens = Votes.stage1bEnsemble(tops, r.orig_lg, p.admissible,
       p.boostedLids, p.boostFactor, p.minProb, p.minVoteScore).orNull
-    val top1 = tops.map(t => t.lid -> t.lang).toMap ++
-      (if (r.orig_lg != null) Map("orig_lg" -> r.orig_lg) else Map.empty) ++
-      (if (ens != null) Map("ensemble" -> ens) else Map.empty)
-    EnsembleRow(r.source, r.orig_lg, ens, top1)
+
+    // A4/A8 per system + orig_lg + ensemble pseudo-systems
+    val entries = tops.map(t => (t.lid, t.lang)) ++
+      (if (r.orig_lg != null) Seq(("orig_lg", r.orig_lg)) else Nil) ++
+      (if (ens != null) Seq(("ensemble", ens)) else Nil)
+    entries.foreach { case (lid, lang) =>
+      val k = lid + Sep + lang
+      acc.bump(acc.lidCnt, k)
+      if (ens != null && ens == lang) acc.bump(acc.lidSupp, k)
+    }
+
+    // A9/A10
+    if (r.orig_lg != null && ens != null) {
+      acc.origTotal += 1
+      if (r.orig_lg == ens) acc.origSupp += 1
+      else acc.bump(acc.disagree, r.orig_lg + "->" + ens)
+    }
+  }
+
+  /** Assemble the public stats row from a merged counter bundle. */
+  def finish(a: SrcAgg, p: Params): SourceStats = {
+    val byLid = a.lidCnt.toSeq.map { case (k, v) =>
+      val Array(lid, lang) = k.split(Sep, 2); (lid, lang, v)
+    }
+    def nested(vals: Seq[(String, String, Double)]) =
+      vals.groupBy(_._1).map { case (lid, xs) =>
+        lid -> xs.map(x => x._2 -> x._3).toMap
+      }
+    val absolute = byLid.groupBy(_._1).map { case (lid, xs) =>
+      lid -> xs.map(x => x._2 -> x._3).toMap
+    }
+    val dist = nested(byLid.map { case (lid, lang, c) =>
+      (lid, lang, BigDecimal(c.toDouble / a.n)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+    val support = nested(byLid.map { case (lid, lang, c) =>
+      val supp = a.lidSupp.getOrElse(lid + Sep + lang, 0L)
+      (lid, lang, BigDecimal(supp.toDouble / c)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+    val ensDist = absolute.getOrElse("ensemble", Map.empty)
+    // A12 — dominant, deterministic tie-break (cnt desc, lang asc)
+    val dominant = ensDist.toSeq.sortBy { case (l, c) => (-c, l) }
+      .headOption.map(_._1).orNull
+    val domCnt = ensDist.values.maxOption.getOrElse(0L)
+    SourceStats(
+      source = a.source,
+      lids = LidNames,
+      boosted_lids = p.boostedLids.toSeq.sorted,
+      boost_factor = p.boostFactor,
+      admissible_languages = Option(p.admissible).map(_.toSeq.sorted).orNull,
+      dominant_language = dominant,
+      dominant_language_ratio = if (a.n == 0) 0.0 else domCnt.toDouble / a.n,
+      overall_orig_lg_support =
+        if (a.origTotal == 0) None
+        else Some(a.origSupp.toDouble / a.origTotal),
+      n = a.n,
+      lid_distributions = dist,
+      lid_absolute_counts = absolute,
+      lg_support = support,
+      clip_type_distribution = a.typeDist,
+      orig_lg_ensemble_disagreements = a.disagree,
+      orig_lg_total_decisions = a.origTotal,
+      ts = Thresholds.FixedTs)
   }
 
   def apply(spark: SparkSession, s1: Dataset[Stage1Row],
       p: Params = Params()): Dataset[SourceStats] = {
     import spark.implicits._
-
-    // A1 — type distribution over ALL rows (incl. undecodable, like the
-    // reference's img rows, NS:479)
-    val typed = s1.withColumn("tp",
-      when(!$"audio_ok", "undecodable")
-        .when($"audio_rms" === 0.0, "silent")
-        .otherwise("clip"))
-    val typeDist = typed.groupBy($"source", $"tp").count()
-      .groupBy($"source")
-      .agg(map_from_entries(collect_list(struct($"tp", $"count")))
-        .as("clip_type_distribution"))
-
-    // F3 (undecodable/silent out) + F4 (len*ratio gate, NS:485-495)
-    val valid = s1.filter($"audio_ok" && $"audio_rms" > 0.0 &&
-      $"alphabetical_ratio".isNotNull &&
-      $"alphabetical_ratio" >= p.alphaMin &&
-      $"len" * $"alphabetical_ratio" >= p.minimalTextLength)
-
-    // row-local ensemble vote (A5/A6) — no shuffle
-    val ens = valid.map(ensembleRow(_, p))
-
-    // A3 — n
-    val nDf = ens.groupBy($"source").agg(count(lit(1)).as("n"))
-
-    // A4 + A8 in one pass: per (source, lid, lang) absolute count and
-    // "top-1 == ensemble" support count
-    val exploded = ens.select($"source", $"ensemble",
-      explode($"top1").as(Seq("lid", "lang")))
-    val cnts = exploded.groupBy($"source", $"lid", $"lang").agg(
-      count(lit(1)).as("cnt"),
-      sum(when($"ensemble" === $"lang", 1L).otherwise(0L)).as("supp_cnt"))
-    val perLid = cnts.join(nDf, "source")
-      .groupBy($"source", $"lid").agg(
-        map_from_entries(collect_list(struct($"lang", $"cnt"))).as("abs_m"),
-        map_from_entries(collect_list(struct($"lang",
-          round($"cnt" / $"n", 9)))).as("dist_m"),
-        map_from_entries(collect_list(struct($"lang",
-          round($"supp_cnt" / $"cnt", 9)))).as("supp_m"))
-    val lidMaps = perLid.groupBy($"source").agg(
-      map_from_entries(collect_list(struct($"lid", $"abs_m")))
-        .as("lid_absolute_counts"),
-      map_from_entries(collect_list(struct($"lid", $"dist_m")))
-        .as("lid_distributions"),
-      map_from_entries(collect_list(struct($"lid", $"supp_m")))
-        .as("lg_support"))
-
-    // A12 — dominant language, deterministic tie-break (cnt desc, lang asc)
-    val ensCnt = ens.filter($"ensemble".isNotNull)
-      .groupBy($"source", $"ensemble").count()
-    val w = Window.partitionBy($"source")
-      .orderBy($"count".desc, $"ensemble".asc)
-    val dom = ensCnt.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"source", $"ensemble".as("dominant_language"),
-        $"count".as("dom_cnt"))
-
-    // A9/A10 — orig_lg support + totals
-    val origAgg = ens.groupBy($"source").agg(
-      sum(when($"orig_lg".isNotNull && $"ensemble".isNotNull, 1L)
-        .otherwise(0L)).as("orig_total"),
-      sum(when($"orig_lg".isNotNull && $"orig_lg" === $"ensemble", 1L)
-        .otherwise(0L)).as("orig_supp"))
-
-    // A9 — disagreement counter keyed "orig->ens" (NS:539)
-    val disagree = ens
-      .filter($"orig_lg".isNotNull && $"ensemble".isNotNull &&
-        $"orig_lg" =!= $"ensemble")
-      .groupBy($"source",
-        concat($"orig_lg", lit("->"), $"ensemble").as("key")).count()
-      .groupBy($"source")
-      .agg(map_from_entries(collect_list(struct($"key", $"count")))
-        .as("orig_lg_ensemble_disagreements"))
-
-    val joined: DataFrame = typeDist
-      .join(nDf, Seq("source"), "left")
-      .join(lidMaps, Seq("source"), "left")
-      .join(dom, Seq("source"), "left")
-      .join(origAgg, Seq("source"), "left")
-      .join(disagree, Seq("source"), "left")
-
-    val lidsSeq = LidNames
-    val boosted = p.boostedLids.toSeq.sorted
-    val admissibleSeq = Option(p.admissible).map(_.toSeq.sorted).orNull
-    val bf = p.boostFactor
-    joined.map { row =>
-      def m2[V](name: String): Map[String, Map[String, V]] = {
-        val i = row.fieldIndex(name)
-        if (row.isNullAt(i)) Map.empty
-        else row.getMap[String, Map[String, V]](i).toMap.map {
-          case (k, v) => k -> v.asInstanceOf[scala.collection.Map[String, V]].toMap
-        }
+    val partials: Dataset[SrcAgg] = s1.mapPartitions { it =>
+      val accs = new scala.collection.mutable.HashMap[String, MutAgg]
+      it.foreach { r =>
+        accumulate(accs.getOrElseUpdate(r.source, new MutAgg), r, p)
       }
-      def m1(name: String): Map[String, Long] = {
-        val i = row.fieldIndex(name)
-        if (row.isNullAt(i)) Map.empty
-        else row.getMap[String, Long](i).toMap
-      }
-      def optL(name: String): Long = {
-        val i = row.fieldIndex(name)
-        if (row.isNullAt(i)) 0L else row.getLong(i)
-      }
-      val n = optL("n")
-      val domCnt = optL("dom_cnt")
-      val origTotal = optL("orig_total")
-      val origSupp = optL("orig_supp")
-      SourceStats(
-        source = row.getString(row.fieldIndex("source")),
-        lids = lidsSeq,
-        boosted_lids = boosted,
-        boost_factor = bf,
-        admissible_languages = admissibleSeq,
-        dominant_language = {
-          val i = row.fieldIndex("dominant_language")
-          if (row.isNullAt(i)) null else row.getString(i)
-        },
-        dominant_language_ratio =
-          if (n == 0) 0.0 else domCnt.toDouble / n,
-        overall_orig_lg_support =
-          if (origTotal == 0) None else Some(origSupp.toDouble / origTotal),
-        n = n,
-        lid_distributions = m2[Double]("lid_distributions"),
-        lid_absolute_counts = m2[Long]("lid_absolute_counts"),
-        lg_support = m2[Double]("lg_support"),
-        clip_type_distribution = m1("clip_type_distribution"),
-        orig_lg_ensemble_disagreements = m1("orig_lg_ensemble_disagreements"),
-        orig_lg_total_decisions = origTotal,
-        ts = Thresholds.FixedTs)
+      accs.iterator.map { case (src, acc) => acc.freeze(src) }
     }
+    partials.groupByKey(_.source)
+      .reduceGroups((a, b) => a.merge(b))
+      .map { case (_, agg) => finish(agg, p) }
   }
 }

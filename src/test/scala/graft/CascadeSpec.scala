@@ -1,0 +1,247 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.operators.Votes.Top1
+import graft.model._
+
+/** Table-driven tests of the vote + decision rules (SURVEY.md §2.5 A5/A6,
+  * §2.9 steps 1-8, quirks Q1-Q4) at their boundary values. */
+class VotesSpec extends AnyFunSuite {
+
+  private def tops(ls: (String, String, Double)*) =
+    ls.map { case (lid, l, p) => Top1(lid, l, p) }
+
+  test("stage1b: prob below 0.25 does not vote (NS:678-687)") {
+    val r = Votes.stage1bEnsemble(
+      tops(("impresso_ft", "de", 0.24), ("wp_ft", "fr", 0.9),
+        ("langid_nb", "fr", 0.9)), origLg = null)
+    assert(r.contains("fr"))
+    // exactly at the threshold DOES vote (>=)
+    val r2 = Votes.stage1bEnsemble(
+      tops(("impresso_ft", "de", 0.25)), origLg = "de")
+    assert(r2.contains("de")) // 1.5 (boosted, 2 voters) + 1.5 orig-boost
+  }
+
+  test("stage1b: boost applies ONLY when >= 2 systems voted (NS:437-438)") {
+    // impresso_ft alone on "de": no boost => score 1.0 < 1.5 => dropped
+    val alone = Votes.stage1bEnsemble(
+      tops(("impresso_ft", "de", 0.9)), origLg = null)
+    assert(alone.isEmpty)
+    // two voters incl. boosted => 1.5 + 1 = 2.5 >= 1.5
+    val two = Votes.stage1bEnsemble(
+      tops(("impresso_ft", "de", 0.9), ("wp_ft", "de", 0.9)), origLg = null)
+    assert(two.contains("de"))
+  }
+
+  test("stage1b: exact tie between top two kills the decision (NS:509-511)") {
+    // de: impresso_ft(boosted 1.5) + wp_ft(1) = 2.5
+    // fr: lingua_rank(1) + orig_lg(boosted 1.5)  = 2.5  -> tie -> None
+    val r = Votes.stage1bEnsemble(
+      tops(("impresso_ft", "de", 0.9), ("wp_ft", "de", 0.9),
+        ("lingua_rank", "fr", 0.9)), origLg = "fr")
+    assert(r.isEmpty)
+  }
+
+  test("stage1b: minimal vote score drops weak langs (NS:688-696)") {
+    val r = Votes.stage1bEnsemble(
+      tops(("wp_ft", "de", 0.9), ("langid_nb", "fr", 0.9)), origLg = null)
+    assert(r.isEmpty) // each lang scores 1.0 < 1.5
+  }
+
+  test("stage1b: admissible-language gate (NS:417-420)") {
+    val r = Votes.stage1bEnsemble(
+      tops(("wp_ft", "xx", 0.9), ("langid_nb", "xx", 0.9),
+        ("impresso_ft", "de", 0.9), ("lingua_rank", "de", 0.9)),
+      origLg = null, admissible = Set("de", "fr"))
+    assert(r.contains("de"))
+  }
+
+  private def stats(
+      support: Map[String, Map[String, Double]] = Map(
+        "impresso_ft" -> Map("de" -> 0.9, "fr" -> 0.9, "lb" -> 0.9),
+        "wp_ft" -> Map("de" -> 0.9, "fr" -> 0.9),
+        "langid_nb" -> Map("de" -> 0.9, "fr" -> 0.9),
+        "lingua_rank" -> Map("de" -> 0.9, "fr" -> 0.9)),
+      dominant: String = "de",
+      ratio: Double = 0.7) = SourceStats(
+    "s", Stage1b.LidNames, Seq("impresso_ft", "orig_lg"), 1.5, null,
+    dominant, ratio, Some(0.9), 100L,
+    Map("ensemble" -> Map("de" -> 0.7, "fr" -> 0.2, "lb" -> 0.1)),
+    Map.empty, support, Map.empty, Map.empty, 80L, "ts")
+
+  test("stage2 votes: zero lg_support kills the vote (EL:416-417, 496-503)") {
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "it", 0.99)), Some(0.8), stats())
+    assert(v.isEmpty) // 'it' has no support entry
+  }
+
+  test("stage2 votes: vote = prob * support (EL:429)") {
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "de", 0.8)), Some(0.8), stats())
+    assert(math.abs(v.head.vote - 0.8 * 0.9) < 1e-9)
+  }
+
+  test("stage2 votes: prob gate is 0.5 (EL:882-891)") {
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "de", 0.49)), Some(0.8), stats())
+    assert(v.isEmpty)
+  }
+
+  test("stage2 votes: alpha below 0.5 => {dominant: 1} (EL:360-372)") {
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "fr", 0.99)), Some(0.49), stats())
+    assert(v.toSeq == Seq(LangVote("de", 1.0)))
+    // absent ratio behaves the same (null-safe Q2)
+    val v2 = Votes.stage2Votes(tops(), None, stats())
+    assert(v2.toSeq == Seq(LangVote("de", 1.0)))
+  }
+
+  test("stage2 votes: lb boost x3 for impresso_ft (EL:473-485)") {
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "lb", 0.6)), Some(0.8), stats())
+    assert(math.abs(v.head.vote - 0.6 * 0.9 * 3.0) < 1e-9)
+  }
+
+  test("stage2 votes: dominance penalty live once ratio emitted (quirk Q1)") {
+    // ratio 0.95 >= 0.90 threshold: non-dominant vote scaled by
+    // 1 - (0.95-0.9)/0.1 = 0.5
+    val v = Votes.stage2Votes(
+      tops(("wp_ft", "fr", 0.8)), Some(0.8), stats(ratio = 0.95))
+    assert(math.abs(v.head.vote - 0.8 * 0.9 * 0.5) < 1e-9)
+    // dominant lang unpenalized
+    val vd = Votes.stage2Votes(
+      tops(("wp_ft", "de", 0.8)), Some(0.8), stats(ratio = 0.95))
+    assert(math.abs(vd.head.vote - 0.8 * 0.9) < 1e-9)
+    // below threshold: no penalty (reference default behavior)
+    val v0 = Votes.stage2Votes(
+      tops(("wp_ft", "fr", 0.8)), Some(0.8), stats(ratio = 0.89))
+    assert(math.abs(v0.head.vote - 0.8 * 0.9) < 1e-9)
+  }
+}
+
+class CascadeSpec extends AnyFunSuite {
+  import VotesFixtures._
+
+  test("rule order: img-analog passthrough first (EL:603-604)") {
+    val r = Stage2.decide(row(audioOk = false), st(), p)
+    assert(r.lg == null && r.lg_decision == "undecodable" && !r.keep)
+    assert(r.drop_reason == "undecodable_audio")
+  }
+
+  test("rule 2a 'all': unanimity incl. trusted orig pseudo (EL:657-682)") {
+    val r = Stage2.decide(row(preds = all("de"), orig = "de"), st(), p)
+    assert(r.lg == "de" && r.lg_decision == "all" && r.keep)
+  }
+
+  test("orig gating: untrusted orig is ignored (EL:606-655)") {
+    val r = Stage2.decide(row(preds = all("de"), orig = "fr"),
+      st(origSupport = Some(0.5)), p)
+    assert(r.lg == "de" && r.lg_decision == "all")
+    // trusted wrong orig breaks unanimity -> voting
+    val r2 = Stage2.decide(row(preds = all("de"), orig = "fr"),
+      st(origSupport = Some(0.9)), p)
+    assert(r2.lg == "de" && r2.lg_decision == "voting")
+  }
+
+  test("orig trust threshold is strict > 0.75 (EL:853-858)") {
+    val r = Stage2.decide(row(preds = all("de"), orig = "fr"),
+      st(origSupport = Some(0.75)), p)
+    assert(r.lg_decision == "all") // 0.75 is NOT trusted
+  }
+
+  test("rule 2b: all-but-impresso_ft, lb only, in ensemble dist, len*ratio gate (EL:684-742)") {
+    val preds = Map("impresso_ft" -> "de", "wp_ft" -> "lb",
+      "langid_nb" -> "lb", "lingua_rank" -> "lb")
+    val r = Stage2.decide(row(preds = preds), st(), p)
+    assert(r.lg == "lb" && r.lg_decision == "all-but-impresso_ft")
+    // same shape but agreeing on 'fr' (in the excluded {de,fr,en,it} set):
+    // falls through to voting
+    val predsFr = Map("impresso_ft" -> "de", "wp_ft" -> "fr",
+      "langid_nb" -> "fr", "lingua_rank" -> "fr")
+    val r2 = Stage2.decide(row(preds = predsFr), st(), p)
+    assert(r2.lg_decision == "voting")
+    // lb but too short for 2b (len * ratio < 20): falls through
+    val r3 = Stage2.decide(row(preds = preds, len = 24, ratio = Some(0.5)),
+      st(), p)
+    assert(r3.lg_decision != "all-but-impresso_ft")
+  }
+
+  test("rule 2c: len < 20 => dominant-by-len (EL:744-758)") {
+    val r = Stage2.decide(
+      row(preds = Map("impresso_ft" -> "de", "wp_ft" -> "fr"), len = 19),
+      st(), p)
+    assert(r.lg == "de" && r.lg_decision == "dominant-by-len")
+  }
+
+  test("low-vote fallback: best vote < 0.5 => dominant-by-lowvote (EL:783-796)") {
+    // fr vote = 0.6 prob * 0.6 support = 0.36 < 0.5
+    val r = Stage2.decide(
+      row(preds = Map("impresso_ft" -> "fr", "wp_ft" -> "de"),
+        probs = Map("impresso_ft" -> 0.6, "wp_ft" -> 0.4)),
+      st(support = Map("impresso_ft" -> Map("fr" -> 0.6))), p)
+    assert(r.lg == "de" && r.lg_decision == "dominant-by-lowvote")
+  }
+
+  test("voting: argmax with deterministic tie-break (score desc, lang asc)") {
+    val r = Stage2.decide(
+      row(preds = Map("impresso_ft" -> "fr", "wp_ft" -> "de",
+        "langid_nb" -> "de", "lingua_rank" -> "fr")),
+      st(), p)
+    // fr: .9*.9*2 = 1.62 == de: 1.62 -> tie -> lexicographically 'de'
+    assert(r.lg == "de" && r.lg_decision == "voting")
+  }
+
+  test("quirk Q4: orig_lg is not a stage-2 voter") {
+    // orig 'fr' trusted; detectors split de/de/fr/fr; if orig voted, fr
+    // would win — with Q4 preserved the tie-break gives 'de'
+    val r = Stage2.decide(
+      row(preds = Map("impresso_ft" -> "fr", "wp_ft" -> "de",
+        "langid_nb" -> "de", "lingua_rank" -> "fr"), orig = "fr"),
+      st(origSupport = Some(0.9)), p)
+    assert(r.lg == "de")
+  }
+
+  test("keep gates: ppl ceiling and admissible language") {
+    val r = Stage2.decide(row(preds = all("de"), ppl = Some(25.0)), st(), p)
+    assert(!r.keep && r.drop_reason == "high_ppl")
+    val r2 = Stage2.decide(row(preds = all("xx")),
+      st(support = Map("impresso_ft" -> Map("xx" -> 0.9))), p)
+    assert(!r2.keep && r2.drop_reason == "inadmissible_lang")
+  }
+}
+
+object VotesFixtures {
+  val p = Stage2.Params()
+
+  def all(l: String): Map[String, String] = Map("impresso_ft" -> l,
+    "wp_ft" -> l, "langid_nb" -> l, "lingua_rank" -> l)
+
+  def row(preds: Map[String, String] = Map.empty,
+      probs: Map[String, Double] = Map.empty,
+      orig: String = null, len: Int = 200,
+      ratio: Option[Double] = Some(0.8),
+      ppl: Option[Double] = Some(6.0),
+      audioOk: Boolean = true): Stage1Row = {
+    def arr(lid: String): Array[LangProb] =
+      preds.get(lid).map(l =>
+        Array(LangProb(l, probs.getOrElse(lid, 0.9)))).orNull
+    Stage1Row("src99-1900-01-01-a-i0001", "src99", "1900", len, orig,
+      ratio, arr("impresso_ft"), arr("wp_ft"), arr("langid_nb"),
+      arr("lingua_rank"), ppl, audioOk, if (audioOk) 5000.0 else 0.0,
+      800, "text " * 40, "ts", "v")
+  }
+
+  def st(dominant: String = "de",
+      ratio: Double = 0.7,
+      origSupport: Option[Double] = Some(0.9),
+      support: Map[String, Map[String, Double]] = Map(
+        "impresso_ft" -> Map("de" -> 0.9, "fr" -> 0.9, "lb" -> 0.9),
+        "wp_ft" -> Map("de" -> 0.9, "fr" -> 0.9, "lb" -> 0.9),
+        "langid_nb" -> Map("de" -> 0.9, "fr" -> 0.9, "lb" -> 0.9),
+        "lingua_rank" -> Map("de" -> 0.9, "fr" -> 0.9, "lb" -> 0.9))): SourceStats =
+    SourceStats("src99", Stage1b.LidNames, Seq("impresso_ft", "orig_lg"),
+      1.5, null, dominant, ratio, origSupport, 100L,
+      Map("ensemble" -> Map("de" -> 0.6, "fr" -> 0.3, "lb" -> 0.1)),
+      Map.empty, support, Map.empty, Map.empty, 80L, "ts")
+}
