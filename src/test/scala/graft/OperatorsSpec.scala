@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Stage1, Stage2}
+import graft.lineage.Checkpoint
+import graft.model.ClipRow
+import graft.lid.LidModels
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val base = "die regierung hat gestern über das neue gesetz beraten und entschieden"
+  lazy val docs = Seq(
+    (0L, base),
+    (1L, base), // exact dup of 0
+    (2L, base.replace("gestern", "heute")), // near dup of 0
+    (3L, "completely different text about fish and chips in the harbor"),
+    (4L, "le gouvernement a discuté hier du nouveau projet pour la ville"),
+    (5L, "  " + base.toUpperCase + "  ") // dup modulo normalization
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized-identical texts") {
+    val r = Dedup.exact(docs, "doc_id", "text").collect()
+    val grp = r.find(_.getLong(2) == 3).get // docs 0, 1, 5
+    assert(grp.getLong(1) == 0L) // keeper = min id
+    assert(r.length == 4) // 3-dup group + 3 singletons
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      n = 3, threshold = 0.7, maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), s"missing near-dup: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimate tracks true jaccard within 0.15") {
+    val sa = graft.lid.TextStats.shingles(base, 5)
+    val sb = graft.lid.TextStats.shingles(base.replace("gestern", "heute"), 5)
+    val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    val siga = Dedup.signature(sa, 128)
+    val sigb = Dedup.signature(sb, 128)
+    val est = siga.zip(sigb).count { case (x, y) => x == y } / 128.0
+    info(f"true=$trueJ%.3f est=$est%.3f")
+    assert(math.abs(trueJ - est) < 0.15)
+  }
+
+  test("minhash LSH surfaces the near-dup pair") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 32, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), s"got $pairs")
+  }
+
+  test("simhash: near-identical texts land within small hamming distance") {
+    val h0 = Dedup.simHash64(base)
+    val h2 = Dedup.simHash64(base.replace("gestern", "heute"))
+    val h3 = Dedup.simHash64("completely different text about fish")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    info(s"near=${ham(h0, h2)} far=${ham(h0, h3)}")
+    assert(ham(h0, h2) < ham(h0, h3))
+    val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = ham(h0, h2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // deterministic vectors: cluster c's members point mostly along axis c
+  lazy val vecs = (0L until 100L).map { i =>
+    val c = (i % 4).toInt
+    val v = Array.tabulate(16)(d =>
+      (if (d == c) 10.0f else 0.0f) +
+        (((i * 31 + d * 7) % 13) - 6) * 0.1f)
+    (i, v)
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns same-cluster neighbors, prob-desc") {
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L), k = 5).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      val (qid, vid) = (row.getLong(0), row.getLong(2))
+      assert(qid % 4 == vid % 4, s"neighbor $vid not in cluster of $qid")
+    }
+    // ranks are sim-desc per query
+    val byQ = r.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("LSH top-k: every hit is verified-exact and recall@5 >= 0.6") {
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      Seq(0L, 1L, 2L, 3L), dim = 16, k = 5, planes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"recall@5 = $recall%.2f")
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}
+
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("kill-and-resume produces output identical to an uninterrupted run") {
+    val n = 600L
+    val clips = Pipeline.clips(spark, n)
+    // stats computed once on the full corpus (separate stage, like the
+    // reference's per-newspaper stats files) — the per-row process is
+    // then deterministic per slice
+    val stats = operators.Stage1b(spark, Stage1(spark, clips)).collect().toSeq
+    def process(in: org.apache.spark.sql.Dataset[ClipRow]) =
+      Stage2(spark, Stage1(spark, in), stats)
+
+    val full = java.nio.file.Files.createTempDirectory("ckpt-full").toString
+    val inter = java.nio.file.Files.createTempDirectory("ckpt-inter").toString
+
+    Checkpoint.runToCompletion(spark, clips, full, 8, process)
+
+    // "killed" run: only 3 of 8 buckets complete
+    assert(Checkpoint.runIncrement(spark, clips, inter, 8, process, 3) == 3)
+    assert(Checkpoint.manifest(spark, inter).count() == 3)
+    // resume: processes exactly the remaining 5, then nothing
+    assert(Checkpoint.runIncrement(spark, clips, inter, 8, process) == 5)
+    assert(Checkpoint.runIncrement(spark, clips, inter, 8, process) == 0)
+
+    def canon(dir: String) = Checkpoint.readOutput(spark, dir)
+      .select($"clip_id", $"lg", $"lg_decision", $"keep", $"drop_reason",
+        $"bucket")
+      .collect().map(_.toString).sorted
+    val (a, b) = (canon(full), canon(inter))
+    assert(a.length == n && b.length == n)
+    assert(a.sameElements(b), "resumed output differs from uninterrupted run")
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.JsonlIO
+import graft.functions.AlphaRatio
+import graft.streaming.StreamingFilter
+import graft.operators.{Diagnostics, Stage1, Stage1b, Stage2}
+import graft.lid.TextStats
+
+class JsonlIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("clip JSONL roundtrip preserves rows incl. binary payloads") {
+    val (clips, _) = model.ClipGen.corpus(50)
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    JsonlIO.writeJsonl(clips.toDS(), s"$dir/clips", dropNulls = true)
+    val back = JsonlIO.readClips(spark, s"$dir/clips/*.json").collect()
+    assert(back.length == 50)
+    val byId = back.map(c => c.clip_id -> c).toMap
+    clips.foreach { c =>
+      val b = byId(c.clip_id)
+      assert(b.codec == c.codec && b.sr_hz == c.sr_hz)
+      assert(b.transcript == c.transcript)
+      assert((b.bytes == null && c.bytes == null) ||
+        java.util.Arrays.equals(b.bytes, c.bytes),
+        s"bytes mismatch for ${c.clip_id}")
+    }
+  }
+
+  test("stats JSON roundtrip (S5/S7)") {
+    val (clips, _) = model.ClipGen.corpus(400)
+    val stats = Stage1b(spark, Stage1(spark, clips.toDS())).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("stats").toString
+    JsonlIO.writeStats(spark, stats, s"$dir/stats")
+    val back = JsonlIO.readStats(spark, s"$dir/stats")
+    assert(back.map(_.source).sorted == stats.map(_.source).sorted)
+    val a = stats.find(_.n > 0).get
+    val b = back.find(_.source == a.source).get
+    assert(b.n == a.n && b.dominant_language == a.dominant_language)
+    assert(b.lg_support == a.lg_support)
+  }
+}
+
+class AlphaRatioExprSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("native expression matches the regex reference implementation") {
+    AlphaRatio.register(spark)
+    val rnd = new scala.util.Random(7)
+    val samples = (0 until 300).map { _ =>
+      val pool = "abc ÄöüßÉ123 _-.,!?  xyz"
+      (0 until rnd.nextInt(60)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    } :+ "" :+ "äöü" :+ "123" :+ "a1 b2"
+    val df = samples.toDF("s")
+      .select($"s", AlphaRatio.alphaRatio($"s").as("native"))
+    df.collect().foreach { r =>
+      val expected = TextStats.alphabeticalRatio(r.getString(0))
+      assert(math.abs(r.getDouble(1) - expected) < 1e-12,
+        s"'${r.getString(0)}' native=${r.getDouble(1)} ref=$expected")
+    }
+  }
+
+  test("works from SQL, is constant-folded, and stays codegen-compatible") {
+    AlphaRatio.register(spark)
+    val r = spark.sql("SELECT alpha_ratio('ab 12') AS a").head.getDouble(0)
+    assert(math.abs(r - 0.4) < 1e-12)
+    // literal input: Catalyst constant-folds the pure expression away
+    val folded = spark.sql("SELECT alpha_ratio('ab 12') AS a")
+      .queryExecution.optimizedPlan.toString
+    assert(folded.contains("0.4"), folded)
+    // non-literal input over a real scan: stays inside a whole-stage-
+    // codegen'd Project ('*(' is the codegen marker; a local relation
+    // would get folded to LocalTableScan, hence the parquet source)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.selectExpr("alpha_ratio(text) AS a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    // and evaluates correctly through that path
+    val viaExpr = docs.selectExpr("doc_id", "alpha_ratio(text) AS a")
+      .orderBy("doc_id").limit(3).collect()
+    val viaRef = docs.orderBy("doc_id").limit(3).collect()
+    viaExpr.zip(viaRef).foreach { case (e, r) =>
+      assert(math.abs(e.getDouble(1) -
+        TextStats.alphabeticalRatio(r.getString(1))) < 1e-12)
+    }
+  }
+}
+
+class DiagnosticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  lazy val clips = Pipeline.clips(spark, 1000L)
+  lazy val s1 = Stage1(spark, clips)
+  lazy val stats = Stage1b(spark, s1).collect().toSeq
+  lazy val decisions = Stage2(spark, s1, stats)
+
+  test("A13 decision stats: N equals row count; stats cover all codes") {
+    val d = Diagnostics.decisionStats(spark, decisions)
+    val total = d.filter($"stat" === "N").agg(sum($"n")).head.getLong(0)
+    assert(total == 1000L)
+    val codes = d.filter($"stat" === "lg_decision").select($"key")
+      .as[String].collect().toSet
+    assert(codes.contains("all"))
+  }
+
+  test("A14 stage-1 counters: reasons partition the corpus") {
+    val d = Diagnostics.stage1Stats(spark, s1)
+    val reasons = d.filter($"stat" === "reason")
+      .select($"key", $"n").as[(String, Long)].collect().toMap
+    assert(reasons.values.sum == 1000L)
+    assert(reasons.keySet == Set("processed", "skipped_no_text",
+      "skipped_short_text"))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming stage1+2 over AvailableNow equals the batch result, incrementally") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val clips = Pipeline.clips(spark, 400L)
+    val stats = Stage1b(spark, Stage1(spark, clips)).collect().toSeq
+
+    // batch reference
+    val batch = Stage2(spark, Stage1(spark, clips), stats)
+      .select($"clip_id", $"lg", $"keep").collect().map(_.toString).sorted
+
+    // micro-batch 1: first half
+    clips.filter(substring($"clip_id", -4, 4).cast("int") < 200)
+      .write.mode("append").parquet(in)
+    StreamingFilter.run(spark, in, stats, out, ck).awaitTermination()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst > 0 && afterFirst < 400)
+
+    // micro-batch 2: second half — resume from checkpoint
+    clips.filter(substring($"clip_id", -4, 4).cast("int") >= 200)
+      .write.mode("append").parquet(in)
+    StreamingFilter.run(spark, in, stats, out, ck).awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select($"clip_id", $"lg", $"keep").collect().map(_.toString).sorted
+    assert(streamed.length == 400)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("windowed keep-rate agg with watermark produces per-source windows") {
+    val clips = Pipeline.clips(spark, 500L)
+    val stats = Stage1b(spark, Stage1(spark, clips)).collect().toSeq
+    val dec = Stage2(spark, Stage1(spark, clips), stats).toDF()
+    val w = StreamingFilter.keepRateByWindow(spark, dec)
+    val rows = w.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == 500L)
+  }
+}
