@@ -59,6 +59,18 @@ object SurfaceDemo {
     val outN = Checkpoint.readOutput(spark, ck).count()
     println(s"checkpoint: first=$first buckets, resumed=$resumed, rows=$outN")
 
+    // --- skew: salted two-phase aggregation over a Zipf key
+    val zipf = spark.range(200000)
+      .withColumn("key", when($"id" % 2 === 0, 0L)
+        .otherwise(pmod($"id", lit(100))))
+      .withColumn("v", $"id" % 13)
+    val salted = operators.Skew.saltedAgg(zipf, $"key",
+      operators.Skew.saltFrom($"id", 32),
+      partial = Seq(count(lit(1)).as("n"), sum($"v").as("sv")),
+      merge = Seq(sum($"n").as("n"), sum($"sv").as("sv")))
+    val hot = salted.orderBy(desc("n")).head
+    println(s"salted agg: ${salted.count()} keys; hottest key=${hot.get(0)} n=${hot.get(1)}")
+
     // --- streaming: two micro-batches through the same transforms
     val sIn = s"$tmp/stream_in"
     clips.filter($"sr_hz" === 8000).write.mode("append").parquet(sIn)

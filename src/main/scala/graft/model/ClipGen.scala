@@ -153,9 +153,16 @@ object ClipGen {
       if (kind == Undecodable) Array.fill[Byte](64)(0x7f.toByte)
       else Audio.encode(codec, samples)
 
-    // ---- clip id: "<source>-YYYY-MM-DD-<e>-iNNNN" (19-char suffix)
-    val year = 1850 + rnd.nextInt(100)
-    val id = f"${src.name}-$year%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d-a-i${(i % 10000).toInt}%04d"
+    // ---- clip id: "<source>-YYYY-MM-DD-<e>-iNNNN" (19-char suffix).
+    // NNNN cycles mod 10000 (reference format is fixed-width), so the
+    // date is derived from i/10000 to make ids globally unique up to
+    // 3.36e9 clips — a random date collides ~once per 100k rows and
+    // breaks join-key uniqueness.
+    val block = i / 10000
+    val year = 1850 + (block % 100).toInt
+    val month = 1 + ((block / 100) % 12).toInt
+    val day = 1 + ((block / 1200) % 28).toInt
+    val id = f"${src.name}-$year%04d-$month%02d-$day%02d-a-i${(i % 10000).toInt}%04d"
 
     // ---- gold decision + keep (documented rules over planted facts)
     val trusted = sourceTrusted(src)
