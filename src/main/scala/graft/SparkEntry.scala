@@ -113,6 +113,21 @@ object SparkEntry {
         round(col("correct").cast("double") / col("total"), 4))
     }),
 
+    "a15_rollup" -> ((s, d) => {
+      // the `_ALL_` bucket as a real ROLLUP (the survey's one natural
+      // grouping-sets candidate, §2.5 note)
+      // `lang0` duplicates the grouping column: references to grouping
+      // expressions inside aggregates get expand-projected (NULL on the
+      // rollup row) in both engines, so aggregate over the copy
+      val j = t(s, d, "documents").withColumn("pred", predCol)
+        .withColumn("lang0", col("lang"))
+      j.rollup(col("lang"))
+        .agg(sum(when(col("pred") === col("lang0"), 1L).otherwise(0L))
+          .as("correct"), count(lit(1)).as("total"))
+        .select(coalesce(col("lang"), lit("_ALL_")).as("gold_lg"),
+          col("correct"), col("total"))
+    }),
+
     // ---------------- T: sorts / top-k (SURVEY §2.7)
     "t5_top_disagreements" -> ((s, d) => t(s, d, "documents")
       .withColumn("pred", predCol)
@@ -239,6 +254,17 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id",
         "embedding", queryIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5)),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosine(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, anchorMod = 10L)),
+    "sim_norms" -> ((s, d) => {
+      // vector norm via codegen'd array fold (functions.aggregate)
+      val v = col("embedding").cast("array<double>")
+      val dot = aggregate(zip_with(v, v, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        round(sqrt(dot), 4).as("norm"))
+    }),
     "sim_ann_lsh" -> ((s, d) => // approximate — rows-only check
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), dim = 64, k = 5, planes = 6)),
@@ -295,6 +321,23 @@ object SparkEntry {
       Pipeline.metrics(s, r.decisions).toDF()
         .select(col("partition_id"), col("source"), col("rows_in"),
           col("rows_out"))
+    }),
+    "pipeline_audio_features" -> ((s, _) => {
+      // mapPartitions feature-extraction over the binary column: decode,
+      // zero-crossing rate, RMS, peak, 4x frame downsample length
+      import s.implicits._
+      Pipeline.clips(s, 2000L, partitions = 8).map { c =>
+        val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
+        (c.clip_id, c.codec, pcm != null,
+          if (pcm == null) 0.0 else
+            graft.lid.TextStats.roundTo(graft.codec.Audio.zeroCrossingRate(pcm), 4),
+          if (pcm == null) 0.0 else
+            graft.lid.TextStats.roundTo(graft.codec.Audio.rms(pcm), 1),
+          if (pcm == null) 0 else graft.codec.Audio.peak(pcm),
+          if (pcm == null) 0 else
+            graft.codec.Audio.frameSample(pcm, 4).length)
+      }.toDF("clip_id", "codec", "decoded", "zcr", "rms", "peak",
+        "n_frames_4x")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -323,6 +366,21 @@ object SparkEntry {
           per AS (SELECT lang AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j GROUP BY 1),
           a AS (SELECT '_ALL_' AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j)
           SELECT gold_lg, correct, total, round(CAST(correct AS DOUBLE) / total, 4) AS accuracy FROM (SELECT * FROM per UNION ALL SELECT * FROM a) u""",
+    "a15_rollup" ->
+      s"""SELECT coalesce(lang, '_ALL_') AS gold_lg,
+          CAST(SUM(CASE WHEN pred = lang0 THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+          count(*) AS total
+          FROM (SELECT lang AS lang0, lang, $predSql AS pred FROM documents) x
+          GROUP BY ROLLUP(lang)""",
+    "dedup_embedding_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          an AS (SELECT vec_id AS a, vec AS va FROM v WHERE vec_id % 10 = 0)
+          SELECT a, vec_id AS b,
+            round(list_dot_product(va, vec) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vec, vec))), 4) AS sim
+          FROM v CROSS JOIN an WHERE a < vec_id
+            AND round(list_dot_product(va, vec) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vec, vec))), 4) >= 0.4""",
+    "sim_norms" ->
+      "SELECT vec_id, label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm FROM embeddings",
     "t5_top_disagreements" ->
       s"SELECT lang || '->' || $predSql AS key, count(*) AS cnt FROM documents WHERE $predSql <> lang GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 5",
     "u1_distinct_langs" ->

@@ -132,6 +132,40 @@ object Audio {
     math.sqrt(s / samples.length)
   }
 
+  /** Zero-crossing rate — crossings per sample, a cheap voicing/noise
+    * discriminator (feature-extraction surface for the binary column). */
+  def zeroCrossingRate(samples: Array[Short]): Double = {
+    if (samples == null || samples.length < 2) return 0.0
+    var z = 0
+    var i = 1
+    while (i < samples.length) {
+      if ((samples(i) >= 0) != (samples(i - 1) >= 0)) z += 1
+      i += 1
+    }
+    z.toDouble / (samples.length - 1)
+  }
+
+  /** Frame sampling: every `stride`-th sample (cheap downsample for
+    * feature extraction; anti-aliasing is out of scope for features). */
+  def frameSample(samples: Array[Short], stride: Int): Array[Short] = {
+    if (samples == null) return null
+    val out = new Array[Short]((samples.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = samples(i * stride); i += 1 }
+    out
+  }
+
+  /** Peak absolute amplitude (clipping indicator). */
+  def peak(samples: Array[Short]): Int = {
+    if (samples == null || samples.isEmpty) return 0
+    var m = 0
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toInt); if (a > m) m = a; i += 1
+    }
+    m
+  }
+
   /** Deterministic fixture waveform: sine + small seeded noise, amplitude
     * well inside 16-bit range so μ-law/A-law round-trips stay ≥ 30 dB SNR. */
   def synth(seed: Long, sampleRate: Int, nSamples: Int): Array[Short] = {

@@ -155,6 +155,25 @@ object Dedup {
       .filter($"est_jaccard" >= threshold)
   }
 
+  /** Embedding-cosine near-dup pairs against an anchor subset (exact).
+    * `anchorMod`: anchors are ids ≡ 0 (mod anchorMod) — a deterministic
+    * sample that keeps the cross join linear in corpus size (|anchors| is
+    * broadcast). For full-corpus near-dup at scale, bucket first with
+    * [[Similarity.sketchCol]] sign sketches and verify in-bucket, exactly
+    * as [[Similarity.lshTopK]] does. */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, anchorMod: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val v = df.select(col(idCol).cast("long").as("b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    val anchors = v.filter(col("b") % anchorMod === 0)
+      .select(col("b").as("a"), col("vb").as("va"))
+    v.join(broadcast(anchors), col("a") < col("b"))
+      .withColumn("sim", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** Row-local 64-bit SimHash over char shingles. */
   def simHash64(text: String, n: Int = 4): Long = {

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.lid.TextStats
+import graft.operators._
+import graft.model.{LangProb, Stage1Row}
+
+/** Property-based tests (SURVEY.md §5): ratio bounds, decision totality,
+  * scrub idempotence, vote monotonicity. Uses ScalaCheck generators with
+  * a deterministic sampling loop (the scalatest<->scalacheck bridge
+  * artifact isn't part of the offline dependency set). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[T](g: Gen[T], n: Int = 300)(check: T => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(12345L)
+    var s = seed
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, s).foreach(check)
+      s = s.next
+      i += 1
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(check: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => check(t._1, t._2))
+
+  private val anyText: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(Gen.alphaChar, Gen.numChar,
+      Gen.oneOf(' ', '\t', 'ß', 'é', 'ë', '-', '@', '.'))).map(_.mkString),
+    Gen.const(null: String),
+    Gen.const(""))
+
+  test("alphabeticalRatio in [0,1] for any input") {
+    forAll(anyText) { s =>
+      val r = TextStats.alphabeticalRatio(s)
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
+
+  test("scrub is idempotent and never lengthens tag-free text") {
+    forAll(anyText) { s =>
+      val once = Scrub.scrub(s)
+      val twice = Scrub.scrub(once.text)
+      assert(twice.text == once.text)
+      assert(twice.total == 0)
+    }
+  }
+
+  private val langGen = Gen.oneOf("de", "en", "fr", "it", "lb")
+  private val predArr: Gen[Array[LangProb]] = Gen.oneOf(
+    Gen.const(null: Array[LangProb]),
+    Gen.zip(langGen, Gen.choose(0.0, 1.0))
+      .map { case (l, p) => Array(LangProb(l, p)) })
+
+  private val rowGen: Gen[Stage1Row] = for {
+    a <- predArr; b <- predArr; c <- predArr; d <- predArr
+    orig <- Gen.option(langGen)
+    len <- Gen.choose(0, 500)
+    ratio <- Gen.option(Gen.choose(0.0, 1.0))
+    ppl <- Gen.option(Gen.choose(1.0, 100.0))
+    audioOk <- Gen.oneOf(true, false)
+    rms <- Gen.oneOf(Gen.const(0.0), Gen.choose(1.0, 9999.0))
+  } yield Stage1Row("srcXX-1900-01-01-a-i0001", "srcXX", "1900", len,
+    orig.orNull, ratio, a, b, c, d, ppl, audioOk, rms.asInstanceOf[Double],
+    100, if (len == 0) null else "x" * len, "ts", "v")
+
+  private val Codes = Set("all", "all-but-impresso_ft", "dominant-by-len",
+    "dominant-by-lowvote", "voting", "undecodable")
+
+  test("decision function is total: one code per row, keep <=> no drop reason") {
+    val stats = VotesFixtures.st()
+    forAll(rowGen) { r =>
+      val d = Stage2.decide(r, stats, Stage2.Params())
+      assert(Codes.contains(d.lg_decision), d.lg_decision)
+      assert(d.keep == (d.drop_reason == null))
+      // kept rows always carry an admissible language
+      if (d.keep) assert(d.lg != null &&
+        Thresholds.AdmissibleLanguages.contains(d.lg))
+    }
+  }
+
+  test("stage-2 vote is monotone in prob (fixed support)") {
+    val stats = VotesFixtures.st()
+    forAll(Gen.choose(0.5, 1.0), Gen.choose(0.0, 0.5)) { (p, dp) =>
+      val lo = Votes.stage2Votes(
+        Seq(Votes.Top1("wp_ft", "fr", p)), Some(0.8), stats)
+      val hi = Votes.stage2Votes(
+        Seq(Votes.Top1("wp_ft", "fr", math.min(1.0, p + dp))), Some(0.8), stats)
+      assert(hi.head.vote >= lo.head.vote - 1e-9)
+    }
+  }
+
+  test("minhash signatures: identical sets agree on every slot") {
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { xs =>
+      val a = Dedup.signature(xs, 32)
+      val b = Dedup.signature(xs.reverse, 32) // order-independent
+      assert(a.sameElements(b))
+    }
+  }
+}
