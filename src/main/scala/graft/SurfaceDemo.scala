@@ -13,10 +13,12 @@ import graft.streaming.StreamingFilter
   * streaming path. Usage: scripts/run.sh graft.SurfaceDemo */
 object SurfaceDemo {
   def main(args: Array[String]): Unit = {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,6 +72,15 @@ object SurfaceDemo {
       merge = Seq(sum($"n").as("n"), sum($"sv").as("sv")))
     val hot = salted.orderBy(desc("n")).head
     println(s"salted agg: ${salted.count()} keys; hottest key=${hot.get(0)} n=${hot.get(1)}")
+
+    // --- bucketed co-located join: shuffle-free after one-time bucketing
+    val keyedA = spark.range(50000).select($"id".as("k"), ($"id" % 7).as("va"))
+    val keyedB = spark.range(0, 50000, 2).select($"id".as("k"), ($"id" % 5).as("vb"))
+    operators.Bucketing.writeBucketed(keyedA, "demo_a", "k", 8)
+    operators.Bucketing.writeBucketed(keyedB, "demo_b", "k", 8)
+    val bj = operators.Bucketing.bucketedJoin(spark, "demo_a", "demo_b", "k")
+      .hint("merge")
+    println(s"bucketed join: rows=${bj.count()} shuffle-free=${!operators.Bucketing.hasExchange(bj)}")
 
     // --- streaming: two micro-batches through the same transforms
     val sIn = s"$tmp/stream_in"
