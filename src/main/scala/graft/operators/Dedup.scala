@@ -37,13 +37,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_docs"))
 
-  /** Char-shingle set per row, distinct, as a DataFrame column. */
-  def shingleCol(textCol: Column, n: Int): Column = {
-    val norm = normText(textCol)
+  /** Char-shingle set of an ALREADY-NORMALIZED column, distinct. The
+    * caller must project [[normText]] into its own column first —
+    * referencing a normalization EXPRESSION here would embed it in the
+    * per-element lambda and re-run the regex once per shingle (measured
+    * O(len²) per row). */
+  def shingleCol(normCol: Column, n: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => substring(norm, 1, Int.MaxValue).substr(i, lit(n))))
-  }
+      sequence(lit(1), greatest(length(normCol) - (n - 1), lit(1))),
+      i => normCol.substr(i, lit(n))))
 
   /** N-gram Jaccard pairs >= threshold over the DF-PRUNED shingle space:
     * shingles appearing in more than `maxShingleDf` docs (stop-shingles —
@@ -58,7 +60,8 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val inv = df.select(col(idCol).cast("long").as("id"),
-      explode(shingleCol(col(textCol), n)).as("shingle"))
+      normText(col(textCol)).as("t"))
+      .select(col("id"), explode(shingleCol(col("t"), n)).as("shingle"))
     val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxShingleDf).select($"shingle")
     val pruned = inv.join(rare, Seq("shingle"))
