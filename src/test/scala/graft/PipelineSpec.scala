@@ -12,6 +12,10 @@ object SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // fresh warehouse per test JVM: a stale location from a previous
+      // run makes saveAsTable fail even on a fresh in-memory catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -45,9 +49,19 @@ class PipelineSpec extends AnyFunSuite {
         s"${s.source}: support $support but planted acc ${plan.origAccuracy}")
       else assert(support < 0.75,
         s"${s.source}: support $support but planted acc ${plan.origAccuracy}")
-      // relfreq denominator is n (A4 note): ensemble dist sums to <= 1
+      // relfreq denominator is n for ALL systems (A4 note, NS:583-585):
+      // the orig_lg pseudo-LID is present on ~80% of rows, so its
+      // distribution must sum to the presence rate, NOT be normalized
+      // to 1 over its own total
       val ensDist = s.lid_distributions.getOrElse("ensemble", Map.empty)
       assert(ensDist.values.sum <= 1.0 + 1e-6)
+      val origDist = s.lid_distributions.getOrElse("orig_lg", Map.empty)
+      if (s.n > 50) {
+        val origSum = origDist.values.sum
+        assert(origSum > 0.6 && origSum < 0.95,
+          s"${s.source}: orig_lg dist sums to $origSum — denominator is " +
+            "not n (should be the 0.8 presence rate, not 1.0)")
+      }
     }
   }
 
