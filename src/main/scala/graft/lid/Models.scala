@@ -68,17 +68,25 @@ final class HashedLinearLid(
   private def features(text: String): Array[Int] = {
     // digit-strip + lowercase pre-norm, word boundary markers like fastText
     val t = "" + TextStats.stripDigits(text).toLowerCase + ""
-    val out = new scala.collection.mutable.ArrayBuffer[Int](t.length * 3)
+    val L = t.length
+    // exact count for n = 1..4: sum of max(L-n+1, 0) — preallocated
+    // primitive array, no boxing in the hot loop
+    var total = 0
     var n = 1
+    while (n <= 4) { if (L >= n) total += L - n + 1; n += 1 }
+    val out = new Array[Int](total)
+    var kk = 0
+    n = 1
     while (n <= 4) {
       var i = 0
-      while (i + n <= t.length) {
-        out += Detectors.ngramHash(t, i, i + n, dim)
+      while (i + n <= L) {
+        out(kk) = Detectors.ngramHash(t, i, i + n, dim)
+        kk += 1
         i += 1
       }
       n += 1
     }
-    out.toArray
+    out
   }
 
   def train(corpus: Seq[(String, String)]): this.type = {
@@ -129,7 +137,8 @@ final class HashedLinearLid(
     while (c < k) {
       var s = bias(c).toDouble
       val row = w(c)
-      fs.foreach(f => s += row(f))
+      var j = 0
+      while (j < fs.length) { s += row(fs(j)); j += 1 }
       scores(c) = s; c += 1
     }
     val p = Detectors.softmax(scores)
@@ -144,34 +153,50 @@ final class HashedLinearLid(
   * normalized posterior probabilities (norm_probs=True analog). */
 final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
   private val k = langs.length
-  private val logLik = new scala.collection.mutable.HashMap[(Int, String), Double]
+  // per-gram log-likelihood VECTOR (one entry per class): a single map
+  // lookup per gram instead of k tuple-allocating lookups — the NB
+  // predict loop is a per-row hot path
+  private val logLik = new scala.collection.mutable.HashMap[String, Array[Double]]
   private val defaults = new Array[Double](k)
 
-  private def grams(text: String): Iterator[String] = {
-    val t = text.toLowerCase
-    (1 to 2).iterator.flatMap(n => (0 to t.length - n).iterator.map(i => t.substring(i, i + n)))
-  }
-
+  /** Gram keys are 1- and 2-char substrings of the lowercased text.
+    * Enumerated inline in train/predict to avoid iterator allocation. */
   def train(corpus: Seq[(String, String)]): this.type = {
     val idx = langs.zipWithIndex.toMap
     val counts = Array.fill(k)(new scala.collection.mutable.HashMap[String, Int])
     val totals = new Array[Long](k)
     corpus.foreach { case (l, s) =>
       idx.get(l).foreach { y =>
-        grams(s).foreach { g =>
-          counts(y)(g) = counts(y).getOrElse(g, 0) + 1
-          totals(y) += 1
+        val t = s.toLowerCase
+        var n = 1
+        while (n <= 2) {
+          var i = 0
+          while (i + n <= t.length) {
+            val g = t.substring(i, i + n)
+            counts(y)(g) = counts(y).getOrElse(g, 0) + 1
+            totals(y) += 1
+            i += 1
+          }
+          n += 1
         }
       }
     }
-    val vocabSize = counts.iterator.flatMap(_.keysIterator).toSet.size.toDouble
+    val vocab = counts.iterator.flatMap(_.keysIterator).toSet
+    val vocabSize = vocab.size.toDouble
     var c = 0
     while (c < k) {
       defaults(c) = math.log(1.0 / (totals(c) + vocabSize))
-      counts(c).foreach { case (g, n) =>
-        logLik((c, g)) = math.log((n + 1.0) / (totals(c) + vocabSize))
-      }
       c += 1
+    }
+    vocab.foreach { g =>
+      val v = new Array[Double](k)
+      var c2 = 0
+      while (c2 < k) {
+        v(c2) = math.log(
+          (counts(c2).getOrElse(g, 0) + 1.0) / (totals(c2) + vocabSize))
+        c2 += 1
+      }
+      logLik(g) = v
     }
     this
   }
@@ -180,18 +205,27 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
     if (text == null || text.isEmpty) return Array.empty
     val scores = new Array[Double](k)
     var any = false
-    grams(text).foreach { g =>
-      any = true
-      var c = 0
-      while (c < k) {
-        scores(c) += logLik.getOrElse((c, g), defaults(c))
-        c += 1
+    val t = text.toLowerCase
+    var n = 1
+    while (n <= 2) {
+      var i = 0
+      while (i + n <= t.length) {
+        any = true
+        val v = logLik.getOrElse(t.substring(i, i + n), null)
+        var c = 0
+        if (v != null) {
+          while (c < k) { scores(c) += v(c); c += 1 }
+        } else {
+          while (c < k) { scores(c) += defaults(c); c += 1 }
+        }
+        i += 1
       }
+      n += 1
     }
     if (!any) return Array.empty
     // temper by length so probs aren't saturated 0/1 on long text
-    val n = math.max(1, text.length)
-    val p = Detectors.softmax(scores.map(_ / math.sqrt(n.toDouble)))
+    val len = math.max(1, text.length)
+    val p = Detectors.softmax(scores.map(_ / math.sqrt(len.toDouble)))
     Detectors.sortPreds(langs.zip(p)).take(3)
       .map { case (l, pr) => (l, TextStats.roundTo(pr, 3)) }
   }
