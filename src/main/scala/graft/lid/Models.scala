@@ -282,9 +282,19 @@ final class RankLid(val langs: Vector[String], topM: Int = 300) extends LangDete
 final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
     extends Serializable {
   private val maxOrder = orderWeights.length
-  private val counts = new scala.collection.mutable.HashMap[String, Int]
-  private val contexts = new scala.collection.mutable.HashMap[String, Int]
+  // n-grams keyed by packed chars (16 bits each, length tag in the top
+  // bits) — zero substring allocation on the per-char scoring path
+  private val counts = new scala.collection.mutable.HashMap[Long, Int]
+  private val contexts = new scala.collection.mutable.HashMap[Long, Int]
   private var charVocab = 64.0
+
+  /** Pack s[from..until) (until-from <= 3) into a tagged Long key. */
+  private def pack(s: CharSequence, from: Int, until: Int): Long = {
+    var key = (until - from + 1).toLong << 48 // length tag; empty ctx = 1
+    var i = from
+    while (i < until) { key = (key << 16) | s.charAt(i); i += 1 }
+    key
+  }
 
   def train(corpus: Seq[String]): this.type = {
     val seen = new scala.collection.mutable.HashSet[Char]
@@ -295,9 +305,9 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
       while (n <= maxOrder) {
         var i = 0
         while (i + n <= s.length) {
-          val g = s.substring(i, i + n)
+          val g = pack(s, i, i + n)
           counts(g) = counts.getOrElse(g, 0) + 1
-          val ctx = g.substring(0, n - 1)
+          val ctx = pack(s, i, i + n - 1)
           contexts(ctx) = contexts.getOrElse(ctx, 0) + 1
           i += 1
         }
@@ -311,10 +321,8 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
   private def condProb(s: String, i: Int, order: Int): Double = {
     val from = i - order + 1
     if (from < 0) return 1.0 / charVocab
-    val g = s.substring(from, i + 1)
-    val ctx = g.substring(0, order - 1)
-    val c = counts.getOrElse(g, 0)
-    val cc = contexts.getOrElse(ctx, 0)
+    val c = counts.getOrElse(pack(s, from, i + 1), 0)
+    val cc = contexts.getOrElse(pack(s, from, i), 0)
     (c + 0.5) / (cc + 0.5 * charVocab)
   }
 
