@@ -268,6 +268,25 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => // approximate — rows-only check
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), dim = 64, k = 5, planes = 6)),
+    "sim_ann_ivf" -> ((s, d) => // approximate — rows-only check
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L), nLists = 16, nProbe = 4, k = 5)),
+
+    // ---------------- multimodal binary columns (image/video; the codec
+    // is the deterministic GIMG/GVID fake — see codec/Image stub note)
+    "mm_image_features" -> ((s, _) =>
+      graft.operators.Multimodal.imageFeatures(
+        graft.model.MediaGen.images(s, 2000L, partitions = 8)).toDF()),
+    "mm_resize" -> ((s, _) =>
+      graft.operators.Multimodal.resize(
+        graft.model.MediaGen.images(s, 1000L, partitions = 8), 8, 8)
+        .toDF().select(col("img_id"), col("width"), col("height"),
+          col("channels"), col("format"), length(col("bytes")).as("n_bytes"))),
+    "mm_video_frame_sample" -> ((s, _) =>
+      graft.operators.Multimodal.sampleFrames(
+        graft.model.MediaGen.videos(s, 500L, partitions = 8), everyN = 4)
+        .toDF().select(col("video_id"), col("frame_idx"), col("width"),
+          col("height"), col("mean_brightness"))),
 
     // ---------------- text analysis (training-data ops)
     "text_tokens" -> ((s, d) => t(s, d, "documents")
