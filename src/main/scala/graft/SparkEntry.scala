@@ -258,12 +258,11 @@ object SparkEntry {
       Dedup.embeddingCosine(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, anchorMod = 10L)),
     "sim_norms" -> ((s, d) => {
-      // vector norm via codegen'd array fold (functions.aggregate)
+      // vector norm via the native codegen vec_dot expression
+      graft.functions.VectorOps.register(s)
       val v = col("embedding").cast("array<double>")
-      val dot = aggregate(zip_with(v, v, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
       t(s, d, "embeddings").select(col("vec_id"), col("label"),
-        round(sqrt(dot), 4).as("norm"))
+        round(sqrt(graft.functions.VectorOps.dot(v, v)), 4).as("norm"))
     }),
     "sim_ann_lsh" -> ((s, d) => // approximate — rows-only check
       Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",

@@ -166,6 +166,7 @@ object Dedup {
     * as [[Similarity.lshTopK]] does. */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, anchorMod: Long = 10L): DataFrame = {
+    graft.functions.VectorOps.register(df.sparkSession)
     import org.apache.spark.sql.functions.broadcast
     val v = df.select(col(idCol).cast("long").as("b"),
       col(vecCol).cast("array<double>").as("vb"))

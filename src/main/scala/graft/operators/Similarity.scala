@@ -7,9 +7,10 @@ import org.apache.spark.sql.expressions.Window
 /** Similarity search over an embedding column (`array<float>`).
   *
   *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
-  *    query set against the corpus; the dot product is a codegen'd
-  *    `aggregate(zip_with(...))` over doubles, no UDF. At 10^12 rows this
-  *    is the verification baseline and the final re-rank stage.
+  *    query set against the corpus; the dot product is the native
+  *    whole-stage-codegen [[graft.functions.VecDot]] expression, no UDF.
+  *    At 10^12 rows this is the verification baseline and the final
+  *    re-rank stage.
   *  - [[lshTopK]] — random-hyperplane LSH (sign sketch): vectors land in
   *    buckets keyed by the sign pattern of `planes` fixed hyperplanes;
   *    queries probe their own bucket only, then re-rank exactly. The
@@ -23,18 +24,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cos(a,b) as a codegen-friendly Column over two array<double> cols. */
+  /** cos(a,b) over two array<double> cols, built on the native codegen
+    * [[graft.functions.VecDot]] expression (requires
+    * `VectorOps.register` on the session — every public entry point here
+    * does it; the HOF route `aggregate(zip_with(...))` evaluates its
+    * lambdas interpreted and outside whole-stage codegen). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
+    import graft.functions.VectorOps.dot
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   /** Exact top-k neighbors for each query id (excluding self). */
   def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    graft.functions.VectorOps.register(vectors.sparkSession)
     val v = vectors.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
     val q = v.filter(col("vid").isin(queryIds: _*))
@@ -61,11 +64,8 @@ object Similarity {
   /** Sign-sketch bucket id of a vector under `planes` hyperplanes. */
   def sketchCol(vec: Column, dim: Int, planes: Int): Column = {
     val bits: Seq[Column] = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(vec,
-          array((0 until dim).map(d => lit(planeComponent(p, d))): _*),
-          (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.VectorOps.dot(vec,
+        array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -181,6 +181,7 @@ object Similarity {
       queryIds: Seq[Long], nLists: Int = 16, nProbe: Int = 4, k: Int = 5,
       maxSample: Int = 512, iters: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
+    graft.functions.VectorOps.register(spark)
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
@@ -214,6 +215,7 @@ object Similarity {
   /** Approximate top-k: bucket by sign sketch, exact re-rank in-bucket. */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
       queryIds: Seq[Long], dim: Int, k: Int = 5, planes: Int = 8): DataFrame = {
+    graft.functions.VectorOps.register(vectors.sparkSession)
     val v = vectors.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket", sketchCol(col("vec"), dim, planes))
