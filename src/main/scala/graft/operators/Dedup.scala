@@ -94,28 +94,39 @@ object Dedup {
     ((mix(2L * i + 1).abs % (P - 1)) + 1, mix(2L * i + 2).abs % P)
   }
 
+  // per-k permutation coefficient tables, built once per JVM (executor):
+  // rebuilding k tuples per DOCUMENT was the hot-loop cost at scale
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+  private def perms(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, _ => {
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var j = 0
+      while (j < k) { val p = perm(j); a(j) = p._1; b(j) = p._2; j += 1 }
+      (a, b)
+    })
+
   /** Row-local MinHash signature of a shingle set. Pure Scala — called
-    * from a typed map, one pass over shingles for all k hashes. */
+    * from a typed map, one pass over shingles for all k hashes;
+    * coefficient tables are primitive arrays hoisted per JVM. */
   def signature(shingles: Iterable[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
-    val ps = Array.tabulate(k)(perm)
+    val (pa, pb) = perms(k)
     shingles.foreach { s =>
       // FNV-1a 64 over chars as the base hash
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
       val x = (h & Long.MaxValue) % P
+      // (a*x + b) mod p without overflow: a, x < 2^61 so a*x overflows;
+      // split x into hi/lo 31-bit halves (BigInt per shingle is too slow)
+      val xHi = x >>> 31
+      val xLo = x & 0x7fffffffL
       var j = 0
       while (j < k) {
-        val (aj, bj) = ps(j)
-        // (a*x + b) mod p without overflow: use Math.multiplyHigh-free
-        // BigInt-free route via unsigned 128 emulation is overkill here —
-        // a, x < 2^61 so a*x overflows; fold with % via BigInt once per
-        // shingle is too slow, so split x into hi/lo 31-bit halves.
-        val xHi = x >>> 31
-        val xLo = x & 0x7fffffffL
+        val aj = pa(j)
         val t = ((aj % P) * xHi % P << 31) % P
-        val v = (t + aj * xLo % P + bj) % P
+        val v = (t + aj * xLo % P + pb(j)) % P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -140,16 +151,23 @@ object Dedup {
       .map { case (id, text) =>
         SigRow(id, signature(graft.lid.TextStats.shingles(text, n), numHashes))
       }
-    // band → bucket key; only bucket-mates meet in the join
-    val buckets = sigs.select($"id", $"sig",
+    // band → bucket key; only bucket-mates meet in the join. The exploded
+    // side carries ONLY (band, bucket, id) — shuffling the 64-long
+    // signature bands× per doc (~8 KB/doc) dominated the exchange at
+    // scale; signatures are re-joined once per side AFTER the pair
+    // distinct, when candidates are few.
+    val buckets = sigs.select($"id",
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), b)))
         .as(Seq("band", "bucket")))
-    val a = buckets.select($"band", $"bucket", $"id".as("a"), $"sig".as("siga"))
-    val b = buckets.select($"band", $"bucket", $"id".as("b"), $"sig".as("sigb"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = buckets.select($"band", $"bucket", $"id".as("a"))
+      .join(buckets.select($"band", $"bucket", $"id".as("b")),
+        Seq("band", "bucket"))
       .filter($"a" < $"b")
-      .select($"a", $"b", $"siga", $"sigb").distinct()
+      .select($"a", $"b").distinct()
+    pairs
+      .join(sigs.select($"id".as("a"), $"sig".as("siga")), "a")
+      .join(sigs.select($"id".as("b"), $"sig".as("sigb")), "b")
       .withColumn("est_jaccard", round(
         aggregate(zip_with($"siga", $"sigb",
           (x, y) => when(x === y, 1).otherwise(0)),

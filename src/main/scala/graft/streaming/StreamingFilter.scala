@@ -2,10 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.model.{ClipRow, DecisionRow, SourceStats}
 import graft.operators.{Stage1, Stage2}
 import graft.sources.JsonlIO
+
+/** Input/state/output rows for the stateful sessionizer. Event time is
+  * epoch micros (no timestamp parsing in the state function). */
+final case class SessionEvent(user_id: Long, ts_us: Long)
+final case class SessionState(start_us: Long, last_us: Long, n: Int)
+final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Int)
 
 /** Structured Streaming surface (SURVEY.md §2.11: the reference is pure
   * batch; this is the graft's incremental path). The SAME stage-1/2
@@ -36,6 +43,48 @@ object StreamingFilter {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Custom-state sessionization with `flatMapGroupsWithState` (the
+    * KeyValueGroupedDataset stateful surface): per-user session state
+    * lives in the checkpointed state store, so sessions span micro-batch
+    * boundaries — an event in batch N+1 extends or closes a session
+    * opened in batch N. A session CLOSES (and is emitted) when a later
+    * event for the same user arrives more than `gapUs` after it; the
+    * trailing open session stays in state (in production a
+    * GroupStateTimeout would flush idle users; with AvailableNow drains
+    * the caller can flush by appending one far-future sentinel event per
+    * user).
+    *
+    * Works identically over a batch Dataset (one "micro-batch", fresh
+    * state) — the spec asserts batch/stream parity on closed sessions. */
+  def sessionize(events: Dataset[SessionEvent],
+      gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val ts = evs.map(_.ts_us).toArray
+          java.util.Arrays.sort(ts)
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          var i = 0
+          while (i < ts.length) {
+            val t = ts(i)
+            cur = cur match {
+              case Some(s) if t - s.last_us <= gapUs =>
+                Some(SessionState(s.start_us, math.max(s.last_us, t), s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(uid, s.start_us, s.last_us, s.n)
+                Some(SessionState(t, t, 1))
+              case None => Some(SessionState(t, t, 1))
+            }
+            i += 1
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
   }
 
   /** Windowed per-source keep-rate monitoring with a watermark —

@@ -158,4 +158,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(2)).sum == 500L)
   }
+
+  test("flatMapGroupsWithState sessions span micro-batch boundaries") {
+    import graft.streaming.{SessionEvent, SessionOut, StreamingFilter}
+    val min = 60L * 1000000L // a minute in micros
+    val gap = 30 * min
+    // user 1: session A (t=0..10min, 3 events) closed by an event 2h
+    // later (batch 2); user 2: one long session, never closes
+    val batch1 = Seq(SessionEvent(1L, 0L), SessionEvent(1L, 5 * min),
+      SessionEvent(1L, 10 * min), SessionEvent(2L, 0L))
+    val batch2 = Seq(SessionEvent(1L, 120 * min), SessionEvent(2L, 20 * min))
+
+    // batch parity: one run over everything closes exactly session A
+    val batchOut = StreamingFilter.sessionize(
+      (batch1 ++ batch2).toDS(), gap).collect()
+    assert(batchOut.toSeq == Seq(SessionOut(1L, 0L, 10 * min, 3)))
+
+    // streaming: state carries across two AvailableNow drains
+    val tmp = java.nio.file.Files.createTempDirectory("sess").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    def drain(): Unit = {
+      val q = StreamingFilter.sessionize(
+        spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+          .parquet(in).as[SessionEvent], gap)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    batch1.toDS().write.mode("append").parquet(in)
+    drain()
+    assert(spark.read.parquet(out).isEmpty) // nothing closed yet
+    batch2.toDS().write.mode("append").parquet(in)
+    drain()
+    val streamed = spark.read.parquet(out).as[SessionOut].collect()
+    // the batch-2 event closed the session opened in batch 1 — state
+    // survived the checkpointed restart
+    assert(streamed.toSeq == Seq(SessionOut(1L, 0L, 10 * min, 3)))
+  }
 }
