@@ -246,6 +246,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => // approximate — rows-only check
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5)),
+    "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
+      Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
     "dedup_simhash" -> ((s, d) => // approximate — rows-only check
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
         n = 4, maxHamming = 10)),

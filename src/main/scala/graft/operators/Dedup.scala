@@ -134,6 +134,44 @@ object Dedup {
     sig
   }
 
+  /** One-permutation-hashing MinHash signature (Li, Owen & Zhang 2012)
+    * with rotation densification (Shrivastava & Li 2014): ONE hash per
+    * shingle instead of k — the CPU scale path when signature cost
+    * dominates (classic k-perm MinHash is k multiply-mod ops per
+    * shingle; at 10^12 docs × 10^3 shingles × 64 perms that is the
+    * pipeline). The shingle's hash selects bin `h mod k`; each bin keeps
+    * its min value; empty bins borrow from the next non-empty bin
+    * cyclically, offset by the borrow distance so two docs that borrowed
+    * differently don't spuriously match. Same estimator contract as
+    * [[signature]]: est J = fraction of equal slots. */
+  def signatureOph(shingles: Iterable[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      // independent mixes for bin choice and bin value
+      var b = h + 0x9e3779b97f4a7c15L
+      b = (b ^ (b >>> 30)) * 0xbf58476d1ce4e5b9L
+      b = (b ^ (b >>> 27)) * 0x94d049bb133111ebL
+      val bin = (((b ^ (b >>> 31)) & Long.MaxValue) % k).toInt
+      val v = (h * 0xff51afd7ed558ccdL) & Long.MaxValue
+      if (v < sig(bin)) sig(bin) = v
+    }
+    // rotation densification: empty bin i takes the value of the next
+    // non-empty bin j (cyclic), tagged with the distance
+    var i = 0
+    while (i < k) {
+      if (sig(i) == Long.MaxValue) {
+        var d = 1
+        while (d < k && sig((i + d) % k) == Long.MaxValue) d += 1
+        if (d < k) sig(i) = sig((i + d) % k) + d.toLong * 0x100000001b3L
+      }
+      i += 1
+    }
+    sig
+  }
+
   final case class SigRow(id: Long, sig: Array[Long])
 
   /** MinHash + banded LSH near-dup candidate pairs with estimated
@@ -141,15 +179,17 @@ object Dedup {
     * slots, verified against the banding false positives). */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, oph: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
+    val sigFn: Iterable[String] => Array[Long] =
+      if (oph) signatureOph(_, numHashes) else signature(_, numHashes)
     val sigs = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text")).as[(Long, String)]
       .map { case (id, text) =>
-        SigRow(id, signature(graft.lid.TextStats.shingles(text, n), numHashes))
+        SigRow(id, sigFn(graft.lid.TextStats.shingles(text, n)))
       }
     // band → bucket key; only bucket-mates meet in the join. The exploded
     // side carries ONLY (band, bucket, id) — shuffling the 64-long

@@ -54,6 +54,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)), s"got $pairs")
   }
 
+  test("one-permutation-hashing estimate tracks true jaccard") {
+    val sa = graft.lid.TextStats.shingles(base, 5)
+    val sb = graft.lid.TextStats.shingles(base.replace("gestern", "heute"), 5)
+    val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    val est = Dedup.signatureOph(sa, 256).zip(Dedup.signatureOph(sb, 256))
+      .count { case (x, y) => x == y } / 256.0
+    info(f"true=$trueJ%.3f oph-est=$est%.3f")
+    assert(math.abs(trueJ - est) < 0.15)
+    // identical sets → identical signature (incl. densified bins)
+    assert(Dedup.signatureOph(sa, 256).sameElements(Dedup.signatureOph(sa, 256)))
+  }
+
+  test("minhash LSH in OPH mode still surfaces the near-dup pair") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 32, threshold = 0.4, oph = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)), s"got $pairs")
+  }
+
   test("simhash: near-identical texts land within small hamming distance") {
     val h0 = Dedup.simHash64(base)
     val h2 = Dedup.simHash64(base.replace("gestern", "heute"))

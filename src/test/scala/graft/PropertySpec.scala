@@ -100,4 +100,42 @@ class PropertySpec extends AnyFunSuite {
       assert(a.sameElements(b))
     }
   }
+
+  test("OPH signatures: order-independent, densified, no sentinel slots") {
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { xs =>
+      val a = Dedup.signatureOph(xs, 32)
+      assert(a.sameElements(Dedup.signatureOph(xs.reverse, 32)))
+      assert(!a.contains(Long.MaxValue)) // densification filled every bin
+    }
+  }
+
+  test("vec_dot helper: symmetric and Cauchy-Schwarz bounded") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(8, Gen.choose(-100.0, 100.0)).map(_.toArray)
+    forAll(vecGen, vecGen) { (a, b) =>
+      val (ad, bd) = (new GenericArrayData(a), new GenericArrayData(b))
+      val dab = graft.functions.DotUtil.dot(ad, bd)
+      assert(dab == graft.functions.DotUtil.dot(bd, ad))
+      val naa = graft.functions.DotUtil.dot(ad, ad)
+      val nbb = graft.functions.DotUtil.dot(bd, bd)
+      assert(naa >= 0.0 && nbb >= 0.0)
+      assert(math.abs(dab) <= math.sqrt(naa) * math.sqrt(nbb) + 1e-6)
+    }
+  }
+
+  test("image codec: roundtrip identity, same-size resize is identity") {
+    import graft.codec.Image
+    val g = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 24)
+      c <- Gen.oneOf(1, 3)
+      px <- Gen.listOfN(w * h * c, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield (w, h, c, px.toArray)
+    forAll(g, 100) { case (w, h, c, px) =>
+      val d = Image.decodeImage(Image.encodeImage(w, h, c, px))
+      assert(d != null && d.pixels.sameElements(px))
+      assert(Image.resizeNearest(d, w, h).pixels.sameElements(px))
+      val m = Image.meanBrightness(d.pixels)
+      assert(m >= 0.0 && m <= 255.0)
+    }
+  }
 }
