@@ -272,10 +272,13 @@ object Dedup {
         .as(Seq("chunk", "ck")))
     val a = chunked.select($"chunk", $"ck", $"id".as("a"), $"sh".as("sha"))
     val b = chunked.select($"chunk", $"ck", $"id".as("b"), $"sh".as("shb"))
+    // hamming-filter BEFORE the pair distinct: bucket-mates are quadratic
+    // in bucket size, survivors are few — the distinct shuffle should
+    // only carry survivors (hamming is deterministic per pair, so
+    // filter-then-distinct ≡ distinct-then-filter)
     a.join(b, Seq("chunk", "ck")).filter($"a" < $"b")
-      .select($"a", $"b", $"sha", $"shb").distinct()
       .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
       .filter($"hamming" <= maxHamming)
-      .select($"a", $"b", $"hamming")
+      .select($"a", $"b", $"hamming").distinct()
   }
 }
