@@ -151,6 +151,15 @@ object SparkEntry {
           .as("sum_disc_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))),
+    "q6_selective_agg" -> ((s, d) =>
+      // TPC-H Q6 shape: every predicate reaches the parquet scan as a
+      // PushedFilter (verified via graft.Explain) — the scan skips row
+      // groups server-side instead of filtering post-read
+      t(s, d, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"), count(lit(1)).as("n"))),
     "q3_revenue_topk" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -408,6 +417,8 @@ object SparkEntry {
       "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs FROM documents GROUP BY source",
     "q1_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY 1, 2",
+    "q6_selective_agg" ->
+      "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n FROM lineitem WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
     "q3_revenue_topk" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10",
     "q5_region_revenue" ->
