@@ -269,6 +269,9 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosine(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, anchorMod = 10L)),
+    "dedup_embedding_lsh" -> ((s, d) => // full-corpus scale path; rows-only
+      Dedup.embeddingCosineLsh(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.4, planes = 8)),
     "sim_norms" -> ((s, d) => {
       // vector norm via the native codegen vec_dot expression
       graft.functions.VectorOps.register(s)

@@ -236,6 +236,42 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** Full-corpus embedding near-dup via sign-sketch LSH — the scale path
+    * the anchored [[embeddingCosine]] can't cover: every vector lands in
+    * a bucket keyed by the sign pattern of `planes` fixed hyperplanes
+    * ([[Similarity.sketchCol]]); candidate pairs meet only inside a
+    * bucket and are verified with exact cosine, so there are NO false
+    * positives — only recall loss. With `multiProbe` one join side also
+    * enters its `planes` hamming-1 neighbor buckets, which guarantees
+    * recall for any pair whose sketches differ in at most one bit (the
+    * common case for near-identical vectors) at the cost of (planes+1)×
+    * rows on that side — still O(n·planes) candidate generation vs the
+    * O(n²) exact cross join. */
+  def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, planes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    graft.functions.VectorOps.register(df.sparkSession)
+    import df.sparkSession.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, planes))
+    val probes =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +:
+        (0 until planes).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = v.select($"id".as("a"), $"vec".as("va"),
+      explode(probes).as("pb"))
+    val b = v.select($"id".as("b"), $"vec".as("vb"),
+      $"bucket".as("pb"))
+    a.join(b, Seq("pb"))
+      .filter($"a" < $"b")
+      .select($"a", $"b",
+        round(Similarity.cosine($"va", $"vb"), 4).as("sim"))
+      .filter($"sim" >= threshold)
+      .distinct()
+  }
+
   // --------------------------------------------------------------- SimHash
   /** Row-local 64-bit SimHash over char shingles. */
   def simHash64(text: String, n: Int = 4): Long = {

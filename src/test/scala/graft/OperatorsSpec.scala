@@ -66,6 +66,36 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.signatureOph(sa, 256).sameElements(Dedup.signatureOph(sa, 256)))
   }
 
+  test("embedding LSH near-dup: exact-verified, high recall vs cross join") {
+    import org.apache.spark.sql.functions.col
+    // 40 vectors in 4 tight clusters (dim 16): same-cluster cosine is
+    // high, cross-cluster low
+    val vecs = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(16)(d =>
+        (if (d * 4 / 16 == c) 10.0f else 0.0f) +
+          (((i * 31 + d * 7) % 13) - 6) * 0.05f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    // exact reference: all pairs with cosine >= 0.9
+    val exact = Dedup.embeddingCosine(vecs, "vec_id", "embedding",
+      threshold = 0.9, anchorMod = 1L) // anchorMod=1 → full cross join
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, planes = 6).collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verified-exact: every LSH hit is a true >= 0.9 pair
+    assert(lshPairs.subsetOf(exact), s"false positives: ${lshPairs -- exact}")
+    val recall = (exact intersect lshPairs).size.toDouble / exact.size
+    info(f"embedding-LSH recall = $recall%.2f (${lshPairs.size}/${exact.size})")
+    assert(recall >= 0.8, s"recall $recall")
+    // multi-probe should find at least as many pairs as exact-bucket only
+    val noProbe = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, planes = 6, multiProbe = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noProbe.subsetOf(lshPairs))
+  }
+
   test("minhash LSH in OPH mode still surfaces the near-dup pair") {
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
       n = 5, numHashes = 64, bands = 32, threshold = 0.4, oph = true)
