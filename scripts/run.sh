@@ -17,6 +17,8 @@ OPENS="$OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 # otherwise the first large pass stalls 32 threads on kernel page-fault
 # locks while the heap grows (measured 7x slowdown on pass 1).
 MEM=${SPARK_DRIVER_MEM:-24g}
-exec java $OPENS -Xms$MEM -Xmx$MEM -XX:+AlwaysPreTouch \
+# ParallelGC: ~15-20% more clips/s than G1 at 32 threads on this
+# allocation-heavy batch workload (measured interleaved)
+exec java $OPENS -Xms$MEM -Xmx$MEM -XX:+AlwaysPreTouch -XX:+UseParallelGC \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"

@@ -90,8 +90,18 @@ object Audio {
 
   def encode(codec: String, samples: Array[Short]): Array[Byte] = codec match {
     case "pcm_s16le" => pcm16Encode(samples)
-    case "ulaw" => samples.map(ulawEncodeSample)
-    case "alaw" => samples.map(alawEncodeSample)
+    // primitive while loops: Array[Short].map boxes every sample
+    // (Function1 is not specialized for Short)
+    case "ulaw" =>
+      val out = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length) { out(i) = ulawEncodeSample(samples(i)); i += 1 }
+      out
+    case "alaw" =>
+      val out = new Array[Byte](samples.length)
+      var i = 0
+      while (i < samples.length) { out(i) = alawEncodeSample(samples(i)); i += 1 }
+      out
     case other => throw new IllegalArgumentException(s"unknown codec $other")
   }
 
@@ -169,15 +179,35 @@ object Audio {
   /** Deterministic fixture waveform: sine + small seeded noise, amplitude
     * well inside 16-bit range so μ-law/A-law round-trips stay ≥ 30 dB SNR. */
   def synth(seed: Long, sampleRate: Int, nSamples: Int): Array[Short] = {
-    val rnd = new scala.util.Random(seed)
-    val freq = 180.0 + rnd.nextInt(2800)
-    val amp = 6000.0 + rnd.nextInt(14000)
+    // per-sample math.sin + Random.nextGaussian (log/sqrt + CAS) made
+    // corpus synthesis cost more than stage-1 inference itself; use the
+    // sine recurrence sin((i+1)w) = 2cos(w)·sin(iw) − sin((i−1)w)
+    // (one multiply + one subtract per sample) and splitmix64 noise.
+    // Deterministic in `seed`; same freq/amp envelope as before.
+    var st = seed
+    def next(): Long = {
+      st += 0x9e3779b97f4a7c15L
+      var z = st
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val freq = 180.0 + (next() & Long.MaxValue) % 2800
+    val amp = 6000.0 + (next() & Long.MaxValue) % 14000
+    val w = 2 * math.Pi * freq / sampleRate
+    val k = 2 * math.cos(w)
     val out = new Array[Short](nSamples)
+    var prev = math.sin(-w) // sin at i = -1
+    var cur = 0.0 // sin at i = 0
     var i = 0
     while (i < nSamples) {
-      val v = amp * math.sin(2 * math.Pi * freq * i / sampleRate) +
-        rnd.nextGaussian() * 40.0
+      // uniform noise in [-80, 80) ≈ the old gaussian σ=40 jitter
+      val noise = ((next() & Long.MaxValue) % 160L) - 80.0
+      val v = amp * cur + noise
       out(i) = math.max(-32768.0, math.min(32767.0, v)).toShort
+      val nxt = k * cur - prev
+      prev = cur
+      cur = nxt
       i += 1
     }
     out
