@@ -73,14 +73,32 @@ object Scrub {
 
   /** Scrub order is fixed (emails → SSN → IBAN → phones → long digit runs
     * → lexicon) so outputs are deterministic; earlier replacements cannot
-    * re-create later patterns because tags contain no digits/@. */
+    * re-create later patterns because tags contain no digits/@.
+    *
+    * One cheap char scan gates five of the six patterns: Email can't
+    * match without '@', and Ssn/Iban/Phone/LongDigits all require a
+    * digit — most clean prose has neither, so those matchers never run
+    * (output is byte-identical by construction: a gated pattern could
+    * not have matched). */
   def scrub(text: String): Result = {
     if (text == null) return Result(null, 0, 0, 0, 0)
-    val (t1, e) = replaceCount(Email, text, EmailTag)
-    val (t2, s) = replaceCount(Ssn, t1, IdTag)
-    val (t3, ib) = replaceCount(Iban, t2, IdTag)
-    val (t4, p) = replaceCount(Phone, t3, PhoneTag)
-    val (t5, ld) = replaceCount(LongDigits, t4, IdTag)
+    var hasAt = false
+    var hasDigit = false
+    var i = 0
+    while (i < text.length && !(hasAt && hasDigit)) {
+      val c = text.charAt(i)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      i += 1
+    }
+    val (t1, e) =
+      if (hasAt) replaceCount(Email, text, EmailTag) else (text, 0)
+    val (t2, s) = if (hasDigit) replaceCount(Ssn, t1, IdTag) else (t1, 0)
+    val (t3, ib) = if (hasDigit) replaceCount(Iban, t2, IdTag) else (t2, 0)
+    val (t4, p) =
+      if (hasDigit) replaceCount(Phone, t3, PhoneTag) else (t3, 0)
+    val (t5, ld) =
+      if (hasDigit) replaceCount(LongDigits, t4, IdTag) else (t4, 0)
     val (t6, x) = replaceCount(Tox, t5, ToxTag)
     Result(t6, e, p, s + ib + ld, x)
   }
