@@ -235,37 +235,66 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
   * normalized out-of-place distance turned into a confidence, keeping
   * entries with confidence > 0.05 (LI:434). */
 final class RankLid(val langs: Vector[String], topM: Int = 300) extends LangDetector {
-  private val profiles = new scala.collection.mutable.HashMap[String, Map[String, Int]]
+  private val k = langs.length
+  // trigram (3 chars packed 16 bits each) → per-language rank vector;
+  // a gram outside a language's top-M profile implicitly ranks topM.
+  // One lookup per gram instead of one String-keyed lookup per gram PER
+  // LANGUAGE, and zero substring allocation — prediction-identical: for
+  // equal-length trigrams the packed-long order equals the string
+  // lexicographic order, so the training tie-break (-count, gram) is
+  // unchanged.
+  private val gramRanks = new java.util.HashMap[Long, Array[Int]]
 
-  private def grams(text: String): Seq[String] = {
-    val t = "" + text.toLowerCase + ""
-    (0 to t.length - 3).map(i => t.substring(i, i + 3))
-  }
+  private def pack3(t: String, i: Int): Long =
+    (t.charAt(i).toLong << 32) | (t.charAt(i + 1).toLong << 16) |
+      t.charAt(i + 2).toLong
+
+  private def norm(text: String): String = "" + text.toLowerCase + ""
 
   def train(corpus: Seq[(String, String)]): this.type = {
-    langs.foreach { lang =>
-      val counts = new scala.collection.mutable.HashMap[String, Int]
+    langs.zipWithIndex.foreach { case (lang, li) =>
+      val counts = new scala.collection.mutable.HashMap[Long, Int]
       corpus.iterator.filter(_._1 == lang).foreach { case (_, s) =>
-        grams(s).foreach(g => counts(g) = counts.getOrElse(g, 0) + 1)
+        val t = norm(s)
+        var i = 0
+        while (i <= t.length - 3) {
+          val g = pack3(t, i)
+          counts(g) = counts.getOrElse(g, 0) + 1
+          i += 1
+        }
       }
       val ranked = counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(topM)
-      profiles(lang) = ranked.zipWithIndex.map { case ((g, _), r) => g -> r }.toMap
+      ranked.zipWithIndex.foreach { case ((g, _), r) =>
+        var v = gramRanks.get(g)
+        if (v == null) { v = Array.fill(k)(topM); gramRanks.put(g, v) }
+        v(li) = r
+      }
     }
     this
   }
 
   override def predict(text: String): Array[(String, Double)] = {
     if (text == null || text.length < 3) return Array.empty
-    val gs = grams(text)
-    if (gs.isEmpty) return Array.empty
-    val maxDist = topM.toDouble * gs.length
-    val raw = langs.map { lang =>
-      val prof = profiles(lang)
-      var dist = 0L
-      gs.foreach(g => dist += prof.getOrElse(g, topM))
+    val t = norm(text)
+    val nGrams = t.length - 2
+    val dist = new Array[Long](k)
+    var i = 0
+    while (i <= t.length - 3) {
+      val v = gramRanks.get(pack3(t, i))
+      if (v == null) {
+        var j = 0
+        while (j < k) { dist(j) += topM; j += 1 }
+      } else {
+        var j = 0
+        while (j < k) { dist(j) += v(j); j += 1 }
+      }
+      i += 1
+    }
+    val maxDist = topM.toDouble * nGrams
+    val raw = langs.zipWithIndex.map { case (lang, li) =>
       // sharpen (^4) so the winner's normalized confidence is decisive —
       // flat scores would never clear the stage-2 prob gate (0.5)
-      lang -> math.pow(math.max(0.0, 1.0 - dist / maxDist), 4)
+      lang -> math.pow(math.max(0.0, 1.0 - dist(li) / maxDist), 4)
     }
     val z = raw.map(_._2).sum
     if (z <= 0) return Array.empty
