@@ -312,9 +312,11 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
     extends Serializable {
   private val maxOrder = orderWeights.length
   // n-grams keyed by packed chars (16 bits each, length tag in the top
-  // bits) — zero substring allocation on the per-char scoring path
-  private val counts = new scala.collection.mutable.HashMap[Long, Int]
-  private val contexts = new scala.collection.mutable.HashMap[Long, Int]
+  // bits) — zero substring allocation on the per-char scoring path.
+  // LongMap (specialized open-addressing) avoids boxing a java.lang.Long
+  // on every one of the 6 lookups per scored character.
+  private val counts = new scala.collection.mutable.LongMap[Int]
+  private val contexts = new scala.collection.mutable.LongMap[Int]
   private var charVocab = 64.0
 
   /** Pack s[from..until) (until-from <= 3) into a tagged Long key. */
