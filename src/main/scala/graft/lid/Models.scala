@@ -156,14 +156,21 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
   // per-gram log-likelihood VECTOR (one entry per class): a single map
   // lookup per gram instead of k tuple-allocating lookups — the NB
   // predict loop is a per-row hot path
-  private val logLik = new scala.collection.mutable.HashMap[String, Array[Double]]
+  // gram → per-class log-likelihood vector, keyed by the chars packed
+  // into a length-tagged Long (no substring allocation, no String hash
+  // on the per-row hot path)
+  private val logLik = new scala.collection.mutable.LongMap[Array[Double]]
   private val defaults = new Array[Double](k)
+
+  private def packGram(t: String, i: Int, n: Int): Long =
+    if (n == 1) (1L << 32) | t.charAt(i).toLong
+    else (2L << 32) | (t.charAt(i).toLong << 16) | t.charAt(i + 1).toLong
 
   /** Gram keys are 1- and 2-char substrings of the lowercased text.
     * Enumerated inline in train/predict to avoid iterator allocation. */
   def train(corpus: Seq[(String, String)]): this.type = {
     val idx = langs.zipWithIndex.toMap
-    val counts = Array.fill(k)(new scala.collection.mutable.HashMap[String, Int])
+    val counts = Array.fill(k)(new scala.collection.mutable.LongMap[Int])
     val totals = new Array[Long](k)
     corpus.foreach { case (l, s) =>
       idx.get(l).foreach { y =>
@@ -172,7 +179,7 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
         while (n <= 2) {
           var i = 0
           while (i + n <= t.length) {
-            val g = t.substring(i, i + n)
+            val g = packGram(t, i, n)
             counts(y)(g) = counts(y).getOrElse(g, 0) + 1
             totals(y) += 1
             i += 1
@@ -211,7 +218,7 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
       var i = 0
       while (i + n <= t.length) {
         any = true
-        val v = logLik.getOrElse(t.substring(i, i + n), null)
+        val v = logLik.getOrNull(packGram(t, i, n))
         var c = 0
         if (v != null) {
           while (c < k) { scores(c) += v(c); c += 1 }
