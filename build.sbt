@@ -26,11 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g matches scripts/run.sh: at ~1 GB/s allocation an 8g heap keeps
+  // ParallelGC collecting instead of computing (the r1 driver bench ran
+  // at 8g and measured 2x below the tuned envelope)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // pin + pre-touch the heap: growing it lazily stalls 32 executor
   // threads on kernel page-fault locks during the first large job
   // (measured 7x slowdown; see BENCH/BASELINE.md)
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+AlwaysPreTouch",
   // throughput collector: the pipeline allocates ~1 GB/s at full rate
   // and ParallelGC sustains ~15-20% more clips/s than G1 at 32 threads

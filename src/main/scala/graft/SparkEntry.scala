@@ -99,19 +99,28 @@ object SparkEntry {
       .groupBy(concat(col("lang"), lit("->"), col("pred")).as("key"))
       .agg(count(lit(1)).as("cnt"))),
     "a15_eval_accuracy" -> ((s, d) => {
-      val joined = t(s, d, "documents").withColumn("pred", predCol)
-      val per = joined.groupBy(col("lang").as("gold_lg")).agg(
-        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-          .as("correct"),
-        count(lit(1)).as("total"))
-      val all = joined.agg(
-        sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-          .as("correct"),
-        count(lit(1)).as("total"))
-        .select(lit("_ALL_").as("gold_lg"), col("correct"), col("total"))
-      per.union(all).withColumn("accuracy",
-        round(col("correct").cast("double") / col("total"), 4))
+      // single-pass ROLLUP plan (r1 ran this as scan+union+rescan — 65x
+      // slower than its own rollup twin); output shape identical: the
+      // `_ALL_` bucket is the rollup grand-total row. `lang0` duplicates
+      // the grouping column so the aggregate survives expand-projection
+      // (see a15_rollup note).
+      val j = t(s, d, "documents").withColumn("pred", predCol)
+        .withColumn("lang0", col("lang"))
+      j.rollup(col("lang"))
+        .agg(sum(when(col("pred") === col("lang0"), 1L).otherwise(0L))
+          .as("correct"), count(lit(1)).as("total"))
+        .select(coalesce(col("lang"), lit("_ALL_")).as("gold_lg"),
+          col("correct"), col("total"),
+          round(col("correct").cast("double") / col("total"), 4)
+            .as("accuracy"))
     }),
+
+    "a15_per_item" -> ((s, d) =>
+      // per-item eval diagnostics (EV:105-122 analog; Eval.perItem is the
+      // pipeline-typed twin): prediction, gold, correctness per row
+      t(s, d, "documents")
+        .select(col("doc_id"), predCol.as("pred"),
+          col("lang").as("gold_lg"), (predCol === col("lang")).as("correct"))),
 
     "a15_rollup" -> ((s, d) => {
       // the `_ALL_` bucket as a real ROLLUP (the survey's one natural
@@ -259,8 +268,11 @@ object SparkEntry {
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
     "dedup_simhash" -> ((s, d) => // approximate — rows-only check
+      // maxHamming = chunks-1: the exact envelope the 4x16-bit pigeonhole
+      // guarantees (r1 asked 10 here, where recall was luck — the
+      // operator now REJECTS parameters beyond its guarantee)
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
-        n = 4, maxHamming = 10)),
+        n = 4, maxHamming = 3, chunks = 4)),
 
     // ---------------- similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) =>
@@ -399,6 +411,8 @@ object SparkEntry {
           per AS (SELECT lang AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j GROUP BY 1),
           a AS (SELECT '_ALL_' AS gold_lg, CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS correct, count(*) AS total FROM j)
           SELECT gold_lg, correct, total, round(CAST(correct AS DOUBLE) / total, 4) AS accuracy FROM (SELECT * FROM per UNION ALL SELECT * FROM a) u""",
+    "a15_per_item" ->
+      s"SELECT doc_id, $predSql AS pred, lang AS gold_lg, ($predSql = lang) AS correct FROM documents",
     "a15_rollup" ->
       s"""SELECT coalesce(lang, '_ALL_') AS gold_lg,
           CAST(SUM(CASE WHEN pred = lang0 THEN 1 ELSE 0 END) AS BIGINT) AS correct,

@@ -74,8 +74,11 @@ object Image {
     if (bytes(4) != Version) return null
     val w = getInt(bytes, 5); val h = getInt(bytes, 9); val c = getInt(bytes, 13)
     if (w <= 0 || h <= 0 || c <= 0 || c > 4) return null
-    val n = w * h * c
-    if (bytes.length != 17 + n) return null
+    // size math in Long: a crafted header like 65536x65536x1 overflows
+    // Int to 0 and would pass the length check with an empty pixel array
+    val nL = w.toLong * h * c
+    if (nL > Int.MaxValue - 17 || bytes.length.toLong != 17 + nL) return null
+    val n = nL.toInt
     val px = new Array[Byte](n)
     System.arraycopy(bytes, 17, px, 0, n)
     Decoded(w, h, c, px)
@@ -89,8 +92,10 @@ object Image {
     val w = getInt(bytes, 5); val h = getInt(bytes, 9)
     val c = getInt(bytes, 13); val nf = getInt(bytes, 17)
     if (w <= 0 || h <= 0 || c <= 0 || c > 4 || nf <= 0) return null
-    val n = w * h * c * nf
-    if (bytes.length != 21 + n) return null
+    // Long size math — see decodeImage overflow note
+    val nL = w.toLong * h * c * nf
+    if (nL > Int.MaxValue - 21 || bytes.length.toLong != 21 + nL) return null
+    val n = nL.toInt
     val px = new Array[Byte](n)
     System.arraycopy(bytes, 21, px, 0, n)
     DecodedVideo(w, h, c, nf, px)

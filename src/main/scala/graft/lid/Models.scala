@@ -311,6 +311,95 @@ final class RankLid(val langs: Vector[String], topM: Int = 300) extends LangDete
   }
 }
 
+/** impresso_langident_pipeline-style 5th ensemble member (C5,
+  * lib/language_identification.py:401-420: keep langs with score > 0.05,
+  * probabilities pre-rounded by the pipeline itself). Architecture is
+  * deliberately distinct from every other member: a ROCCHIO
+  * nearest-centroid classifier in hashed char 2/3-gram TF space —
+  *
+  *  - training only AVERAGES: each language's prototype is its
+  *    L2-normalized aggregate gram-frequency vector (no gradient steps,
+  *    unlike the SGD-trained HashedLinearLid pair; no per-gram
+  *    likelihoods, unlike the NB; no rank profiles, unlike lingua);
+  *  - scoring is cosine-to-prototype: dot(tf, proto_c) accumulated as
+  *    ONE bucket-major table lookup per gram occurrence (k floats,
+  *    cache-adjacent), normalized by ~||tf|| ≈ sqrt(nGrams) — the same
+  *    normalizer for every class, so the argmax is the exact cosine
+  *    argmax;
+  *  - softmax over `temp`-sharpened cosines so the winner clears the
+  *    stage-2 prob gate (0.5) on clean text.
+  */
+final class ProtoLid(val langs: Vector[String], dim: Int = 1 << 13,
+    temp: Double = 30.0) extends LangDetector {
+
+  private val k = langs.length
+  // bucket-major prototype matrix: proto(b*k + c) = class c's unit
+  // centroid weight for gram bucket b
+  private val proto = new Array[Float](dim * k)
+
+  def train(corpus: Seq[(String, String)]): this.type = {
+    val idx = langs.zipWithIndex.toMap
+    val acc = Array.fill(k)(new Array[Double](dim))
+    corpus.foreach { case (l, s) =>
+      idx.get(l).foreach { y =>
+        val t = s.toLowerCase
+        val a = acc(y)
+        var n = 2
+        while (n <= 3) {
+          var i = 0
+          while (i + n <= t.length) {
+            a(Detectors.ngramHash(t, i, i + n, dim)) += 1.0
+            i += 1
+          }
+          n += 1
+        }
+      }
+    }
+    var c = 0
+    while (c < k) {
+      val a = acc(c)
+      var s = 0.0
+      var b = 0
+      while (b < dim) { s += a(b) * a(b); b += 1 }
+      val norm = math.sqrt(s)
+      if (norm > 0) {
+        b = 0
+        while (b < dim) { proto(b * k + c) = (a(b) / norm).toFloat; b += 1 }
+      }
+      c += 1
+    }
+    this
+  }
+
+  override def predict(text: String): Array[(String, Double)] = {
+    if (text == null || text.length < 2) return Array.empty
+    val t = text.toLowerCase
+    val scores = new Array[Double](k)
+    var grams = 0
+    var n = 2
+    while (n <= 3) {
+      var i = 0
+      while (i + n <= t.length) {
+        val base = Detectors.ngramHash(t, i, i + n, dim) * k
+        var c = 0
+        while (c < k) { scores(c) += proto(base + c); c += 1 }
+        grams += 1
+        i += 1
+      }
+      n += 1
+    }
+    if (grams == 0) return Array.empty
+    val norm = math.sqrt(grams.toDouble)
+    var c = 0
+    while (c < k) { scores(c) = temp * scores(c) / norm; c += 1 }
+    val probs = Detectors.softmax(scores)
+    // keep score > 0.05, probs rounded (LI:407-414)
+    Detectors.sortPreds(langs.zip(probs))
+      .filter(_._2 > 0.05)
+      .map { case (l, p) => (l, math.min(1.0, TextStats.roundTo(p, 3))) }
+  }
+}
+
 /** KenLM-style interpolated character n-gram LM (orders 1..3, add-k
   * smoothed, fixed interpolation weights). `perplexity` is per-char;
   * fluent text from any trained language scores low, digit/punct noise
@@ -391,6 +480,7 @@ final case class LidModels(
     wpFt: HashedLinearLid,
     langidNb: NaiveBayesLid,
     linguaRank: RankLid,
+    impressoLp: ProtoLid,
     charLm: CharLm) extends Serializable {
 
   /** System name → detector, in the reference's LID-system order
@@ -399,7 +489,8 @@ final case class LidModels(
     "impresso_ft" -> impressoFt,
     "wp_ft" -> wpFt,
     "langid_nb" -> langidNb,
-    "lingua_rank" -> linguaRank)
+    "lingua_rank" -> linguaRank,
+    "impresso_lp" -> impressoLp)
 }
 
 object LidModels {
@@ -414,6 +505,7 @@ object LidModels {
         epochs = 2, lr = 0.2).train(corpus),
       langidNb = new NaiveBayesLid(LangCorpus.Languages).train(corpus),
       linguaRank = new RankLid(LangCorpus.Languages).train(corpus),
+      impressoLp = new ProtoLid(LangCorpus.Languages).train(corpus),
       charLm = new CharLm().train(corpus.map(_._2)))
   }
 }

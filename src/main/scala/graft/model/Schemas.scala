@@ -38,13 +38,17 @@ final case class Stage1Row(
     wp_ft: Array[LangProb],
     langid_nb: Array[LangProb],
     lingua_rank: Array[LangProb],
+    impresso_lp: Array[LangProb], // 5th ensemble member (C5)
     ppl: Option[Double], // char-LM perplexity; absent when no text
     audio_ok: Boolean, // decodable + non-empty
     audio_rms: Double,
     n_samples: Int,
     transcript: String, // carried through for stage-3 scrub
     ts: String,
-    stage1_version: String)
+    stage1_version: String,
+    /** F2 skip-reason taxonomy (LI:633-659): null when processed, else
+      * no_text / short_text / low_alpha. */
+    skip_reason: String = null)
 
 /** Per-source statistics (stage-1b output) — field set mirrors
   * `attrs_for_json` (lib/newspaper_statistics.py:198-218) with the graft

@@ -34,22 +34,21 @@ object Diagnostics {
   }
 
   /** A14 — stage-1 skip-reason + LID-disagreement counters
-    * (LI:252-259, 528-560). Disagreement key = sorted distinct top-1
-    * languages joined by '_' (dynamic LID_DISAGREEMENT_<l1>_<l2> keys). */
+    * (LI:252-259, 528-560). Skip reasons use the F2 three-way taxonomy
+    * carried on `Stage1Row.skip_reason` (skipped_no_text /
+    * skipped_short_text / skipped_low_alpha, LI:633-659). Disagreement
+    * key = sorted distinct top-1 languages joined by '_' (dynamic
+    * LID_DISAGREEMENT_<l1>_<l2> keys). */
   def stage1Stats(spark: SparkSession,
       s1: Dataset[Stage1Row]): DataFrame = {
     import spark.implicits._
     val reasons = s1.map { r =>
-      if (r.transcript == null || r.transcript.trim.isEmpty) "skipped_no_text"
-      else if (r.alphabetical_ratio.isEmpty) "skipped_short_text"
-      else "processed"
+      if (r.skip_reason == null) "processed" else "skipped_" + r.skip_reason
     }.toDF("key").groupBy(lit("reason").as("stat"), $"key")
       .agg(count(lit(1)).as("n"))
 
     val disagreements = s1.map { r =>
-      val tops = Votes.top1s(Seq(
-        "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
-        "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank))
+      val tops = Votes.top1s(Stage1b.systemsOf(r))
         .map(_.lang).distinct.sorted
       if (tops.size > 1) "LID_DISAGREEMENT_" + tops.mkString("_") else null
     }.filter(_ != null).toDF("key")

@@ -32,6 +32,21 @@ object Eval {
       .orderBy($"gold_lg")
   }
 
+  /** Per-item eval diagnostics (EV:105-122 analog): one row per
+    * gold-labeled item with its prediction and correctness — the error-
+    * analysis feed the aggregate accuracy frame can't provide. Same join
+    * shape as [[langAccuracy]]; output stays distributed (sink it, don't
+    * collect it). */
+  def perItem(spark: SparkSession, decisions: Dataset[DecisionRow],
+      gold: Dataset[GoldRow]): DataFrame = {
+    import spark.implicits._
+    decisions.select($"clip_id", $"lg", $"lg_decision")
+      .join(gold.filter($"gold_lg".isNotNull).select($"clip_id", $"gold_lg"),
+        "clip_id")
+      .select($"clip_id", $"lg", $"gold_lg", $"lg_decision",
+        ($"lg" === $"gold_lg").as("correct"))
+  }
+
   final case class KeepF1(
       tp: Long, fp: Long, fn: Long, tn: Long,
       precision: Double, recall: Double, f1: Double)

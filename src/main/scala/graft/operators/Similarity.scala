@@ -185,7 +185,13 @@ object Similarity {
     import spark.implicits._
     val v = vectors.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("vec"))
-    val sample = v.orderBy(col("vid").asc).limit(maxSample)
+    // deterministic SPREAD sample: order by a hash of the id, not the id
+    // itself — a corpus ordered/keyed by cluster (common for ingested
+    // lakes) would otherwise train centroids on one cluster only and
+    // silently collapse recall. orderBy+limit is a TakeOrdered (narrow
+    // per-partition top-k + driver merge), not a full sort.
+    val sample = v.orderBy(xxhash64(col("vid")).asc, col("vid").asc)
+      .limit(maxSample)
       .as[(Long, Seq[Double])].collect().map(_._2.toArray)
     val cents = trainCentroids(sample, nLists, iters)
     val cb = spark.sparkContext.broadcast(cents)

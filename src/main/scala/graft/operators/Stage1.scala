@@ -44,21 +44,28 @@ object Stage1 {
     val audioOk = pcm != null && pcm.length > 0
     val rms = if (audioOk) Audio.rms(pcm) else 0.0
 
-    // ---- text validity gate (F1, LI:508-526)
+    // ---- text validity gate (F1, LI:508-526) with the three-way
+    // skip-reason taxonomy (F2, LI:633-659): a missing/non-string field
+    // is no_text; present-but-short (post-trim) is short_text; long
+    // enough but ratio below threshold is low_alpha
     val text = clip.transcript
     val trimmedLen = if (text == null) 0 else text.trim.length
     val len = if (text == null) 0 else text.length
     val ratio = TextStats.alphabeticalRatio(text)
     val ratioRounded = TextStats.roundTo(ratio, 2) // LI:522
-    val valid = text != null && trimmedLen >= p.minimalTextLength &&
-      ratioRounded >= p.alphaThreshold
+    val skipReason: String =
+      if (text == null) "no_text"
+      else if (trimmedLen < p.minimalTextLength) "short_text"
+      else if (ratioRounded < p.alphaThreshold) "low_alpha"
+      else null
 
-    if (!valid) {
+    if (skipReason != null) {
       // pass through with base fields only (F1 note: not dropped)
       Stage1Row(clip.clip_id, parseSource(clip.clip_id), parseYear(clip.clip_id),
-        len, clip.orig_lg, None, null, null, null, null,
+        len, clip.orig_lg, None, null, null, null, null, null,
         None, audioOk, rms, if (pcm == null) 0 else pcm.length,
-        clip.transcript, Thresholds.FixedTs, Thresholds.Stage1Version)
+        clip.transcript, Thresholds.FixedTs, Thresholds.Stage1Version,
+        skip_reason = skipReason)
     } else {
       // per-system inference with per-system error isolation (LI:353-439)
       def safe(f: String => Array[(String, Double)]): Array[LangProb] =
@@ -74,6 +81,7 @@ object Stage1 {
         safe(models.wpFt.predict),
         safe(models.langidNb.predict),
         safe(models.linguaRank.predict),
+        safe(models.impressoLp.predict),
         Some(TextStats.roundTo(models.charLm.perplexity(text), 3)),
         audioOk, rms, if (pcm == null) 0 else pcm.length,
         clip.transcript, Thresholds.FixedTs, Thresholds.Stage1Version)

@@ -30,7 +30,14 @@ object Stage1b {
       admissible: Set[String] = null)
 
   val LidNames: Seq[String] =
-    Seq("impresso_ft", "wp_ft", "langid_nb", "lingua_rank")
+    Seq("impresso_ft", "wp_ft", "langid_nb", "lingua_rank", "impresso_lp")
+
+  /** (name, predictions) pairs of every LID system on a row — the single
+    * place the system list is enumerated for voting/stats/diagnostics. */
+  def systemsOf(r: Stage1Row): Seq[(String, Array[LangProb])] = Seq(
+    "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
+    "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank,
+    "impresso_lp" -> r.impresso_lp)
 
   private val Sep = ""
 
@@ -88,9 +95,7 @@ object Stage1b {
     if (!valid) return
     acc.n += 1
 
-    val tops = Votes.top1s(Seq(
-      "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
-      "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank))
+    val tops = Votes.top1s(systemsOf(r))
     val ens = Votes.stage1bEnsemble(tops, r.orig_lg, p.admissible,
       p.boostedLids, p.boostFactor, p.minProb, p.minVoteScore).orNull
 

@@ -26,7 +26,10 @@ object Stage2 {
       weightLb: Double = Thresholds.WeightLbImpressoFt,
       pplKeepMax: Double = Thresholds.PplKeepMax,
       audioRmsMin: Double = Thresholds.AudioRmsMin,
-      admissible: Set[String] = Thresholds.AdmissibleLanguages)
+      admissible: Set[String] = Thresholds.AdmissibleLanguages,
+      /** Sources whose `lb` predictions are vetoed in voting (F7,
+        * `--exclude-lb` EL:969-978). */
+      excludeLb: Set[String] = Set.empty)
 
   /** Empty stats for sources unseen by stage 1b (cold start). */
   def emptyStats(source: String): SourceStats = SourceStats(
@@ -44,10 +47,7 @@ object Stage2 {
         votes = Array.empty)
     }
 
-    val systems = Seq(
-      "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
-      "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank)
-    val tops = Votes.top1s(systems)
+    val tops = Votes.top1s(Stage1b.systemsOf(r))
 
     // ---- step 2: orig_lg gating (EL:606-655): trust iff
     // overall_orig_lg_support > threshold; trusted orig becomes a
@@ -89,7 +89,8 @@ object Stage2 {
 
     // ---- step 6: weighted voting (EL:346-551; quirk Q4: orig not a voter)
     val votes = Votes.stage2Votes(tops, r.alphabetical_ratio, stats,
-      p.minProb, p.alphaThreshold, p.dominantThreshold, p.weightLb).toArray
+      p.minProb, p.alphaThreshold, p.dominantThreshold, p.weightLb,
+      vetoLb = p.excludeLb.contains(r.source)).toArray
 
     // ---- step 7: low-vote fallbacks (EL:773-796)
     if (votes.isEmpty || votes.head.vote < p.minVotingScore) {
@@ -109,8 +110,9 @@ object Stage2 {
     val dropReason: String =
       if (!r.audio_ok) "undecodable_audio"
       else if (r.audio_rms < p.audioRmsMin) "silent_audio"
-      else if (r.len == 0) "no_text"
-      else if (r.alphabetical_ratio.isEmpty) "short_text" // stage-1 invalid
+      else if (r.skip_reason != null) r.skip_reason // F2 taxonomy from stage 1
+      else if (r.len == 0) "no_text" // fallbacks for rows built off-pipeline
+      else if (r.alphabetical_ratio.isEmpty) "short_text"
       else if (r.alphabetical_ratio.exists(_ < p.alphaThreshold)) "low_alpha"
       else if (r.ppl.exists(_ > p.pplKeepMax)) "high_ppl"
       else if (lg == null) "no_lang"

@@ -69,7 +69,13 @@ object Votes {
     *    lang != dominant: vote *= 1 - (ratio-0.9)/0.1 (EL:431-460; dead
     *    in the reference — quirk Q1 — live here because stage 1b emits
     *    the ratio);
-    *  - impresso_ft predicting "lb" => vote *= weightLb (3.0, EL:473-485).
+    *  - impresso_ft predicting "lb" => vote *= weightLb (3.0, EL:473-485);
+    *  - `vetoLb`: per-source `lb` exclusion (F7) — when the row's source
+    *    is in `--exclude-lb`, ANY system's `lb` prediction is skipped
+    *    after the admissibility check and before the prob gate
+    *    (EL:401-412; flag EL:969-978). The degenerate low-alpha branch is
+    *    NOT vetoed — the reference's check lives only inside the
+    *    prediction loop.
     */
   def stage2Votes(
       tops: Seq[Top1],
@@ -78,7 +84,8 @@ object Votes {
       minProb: Double = Thresholds.MinimalLidProbabilityStage2,
       alphaThreshold: Double = Thresholds.AlphabeticalRatioThresholdStage2,
       dominantThreshold: Double = Thresholds.DominantLanguageThreshold,
-      weightLb: Double = Thresholds.WeightLbImpressoFt): Seq[LangVote] = {
+      weightLb: Double = Thresholds.WeightLbImpressoFt,
+      vetoLb: Boolean = false): Seq[LangVote] = {
 
     val admissible = Option(stats.admissible_languages).map(_.toSet).orNull
 
@@ -90,7 +97,8 @@ object Votes {
 
     val acc = scala.collection.mutable.HashMap.empty[String, Double]
     tops.foreach { t =>
-      val adm = admissible == null || admissible.contains(t.lang)
+      val adm = (admissible == null || admissible.contains(t.lang)) &&
+        !(vetoLb && t.lang == "lb") // F7 veto (EL:403-412)
       if (adm && t.prob >= minProb) {
         val support = stats.lg_support
           .getOrElse(t.lid, Map.empty).getOrElse(t.lang, 0.0)

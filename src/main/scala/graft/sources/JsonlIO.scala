@@ -40,12 +40,51 @@ object JsonlIO {
   }
 
   /** S6/S8: one compact JSON object per line. `ignoreNullFields=true`
-    * mirrors the reference's cleanup_attrs drop-null behavior (P3). */
+    * drops ALL null fields — only correct when no field is `required`;
+    * for the reference's cleanup_attrs semantics use
+    * [[writeJsonlCleaned]] (P3). */
   def writeJsonl[T](ds: Dataset[T], path: String,
       dropNulls: Boolean = true): Unit =
     ds.write.mode("overwrite")
       .option("ignoreNullFields", dropNulls.toString)
       .json(path)
+
+  /** Per-field JSON fragment `"name":<value>` with correct escaping —
+    * `to_json` on a one-field struct, outer braces stripped. */
+  private def fieldJson(name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val j = to_json(struct(col(name).as(name)),
+      Map("ignoreNullFields" -> "false"))
+    j.substr(lit(2), length(j) - 2)
+  }
+
+  /** S6/S8 with the reference's `cleanup_attrs` contract (P3,
+    * EL:311-327): REQUIRED keys are emitted even when null (`"lg":null`),
+    * non-required null keys are dropped per row, and key order is the
+    * fixed schema column order. Spark's JSON sink can't express a
+    * per-field null policy, so the line is assembled from per-field
+    * `to_json` fragments — all codegen'd column expressions, no UDF, and
+    * the sink stays a plain distributed text write. */
+  def writeJsonlCleaned(df: DataFrame, path: String,
+      required: Set[String]): Unit =
+    cleanedJson(df, required).write.mode("overwrite").text(path)
+
+  /** The cleaned JSON line column (factored out for tests). */
+  def cleanedJson(df: DataFrame, required: Set[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frags = df.schema.fieldNames.toSeq.map { f =>
+      if (required.contains(f)) fieldJson(f)
+      else when(col(f).isNotNull, fieldJson(f))
+    }
+    df.select(concat(lit("{"), concat_ws(",", frags: _*), lit("}"))
+      .as("value"))
+  }
+
+  /** Required attrs of the decisions sink — mirrors the reference's
+    * required flags (EL:118-149: id, lg, tp, len, orig_lg; `tp` has no
+    * clip analog, `source` stands in as the always-present metadata). */
+  val DecisionRequired: Set[String] =
+    Set("clip_id", "lg", "source", "len", "orig_lg")
 
   /** S5: read a stats table written by [[writeStats]]. */
   def readStats(spark: SparkSession, path: String): Seq[SourceStats] = {

@@ -103,6 +103,25 @@ class VotesSpec extends AnyFunSuite {
     assert(math.abs(v.head.vote - 0.6 * 0.9 * 3.0) < 1e-9)
   }
 
+  test("stage2 votes: per-source lb veto skips any system's lb (F7, EL:401-412)") {
+    // vetoed: impresso_ft's lb prediction never votes (even with support
+    // present and the x3 lb boost it would otherwise get)
+    val v = Votes.stage2Votes(
+      tops(("impresso_ft", "lb", 0.9)), Some(0.8), stats(), vetoLb = true)
+    assert(v.isEmpty)
+    // other languages unaffected under the veto
+    val v2 = Votes.stage2Votes(
+      tops(("impresso_ft", "lb", 0.9), ("wp_ft", "de", 0.8)), Some(0.8),
+      stats(), vetoLb = true)
+    assert(v2.map(_.lang) == Seq("de"))
+    // degenerate low-alpha branch is NOT vetoed (check lives in the
+    // prediction loop only): dominant 'lb' still returned
+    val v3 = Votes.stage2Votes(
+      tops(("impresso_ft", "de", 0.9)), Some(0.3), stats(dominant = "lb"),
+      vetoLb = true)
+    assert(v3.toSeq == Seq(LangVote("lb", 1.0)))
+  }
+
   test("stage2 votes: dominance penalty live once ratio emitted (quirk Q1)") {
     // ratio 0.95 >= 0.90 threshold: non-dominant vote scaled by
     // 1 - (0.95-0.9)/0.1 = 0.5
@@ -202,6 +221,23 @@ class CascadeSpec extends AnyFunSuite {
     assert(r.lg == "de")
   }
 
+  test("F7: excluded source's lb votes are vetoed in the cascade") {
+    // lb/lb/de/de split: rules 2a/2b don't fire; without the veto lb wins
+    // the vote (0.9*0.9*3 + 0.81 = 3.24 vs de 1.62)
+    val preds = Map("impresso_ft" -> "lb", "wp_ft" -> "lb",
+      "langid_nb" -> "de", "lingua_rank" -> "de")
+    val r = Stage2.decide(row(preds = preds), st(), p)
+    assert(r.lg == "lb" && r.lg_decision == "voting")
+    // same row, source excluded: lb vetoed, de wins on its own votes
+    val r2 = Stage2.decide(row(preds = preds), st(),
+      p.copy(excludeLb = Set("src99")))
+    assert(r2.lg == "de" && r2.lg_decision == "voting")
+    // a different excluded source leaves this row untouched
+    val r3 = Stage2.decide(row(preds = preds), st(),
+      p.copy(excludeLb = Set("src00")))
+    assert(r3.lg == "lb")
+  }
+
   test("keep gates: ppl ceiling and admissible language") {
     val r = Stage2.decide(row(preds = all("de"), ppl = Some(25.0)), st(), p)
     assert(!r.keep && r.drop_reason == "high_ppl")
@@ -215,7 +251,7 @@ object VotesFixtures {
   val p = Stage2.Params()
 
   def all(l: String): Map[String, String] = Map("impresso_ft" -> l,
-    "wp_ft" -> l, "langid_nb" -> l, "lingua_rank" -> l)
+    "wp_ft" -> l, "langid_nb" -> l, "lingua_rank" -> l, "impresso_lp" -> l)
 
   def row(preds: Map[String, String] = Map.empty,
       probs: Map[String, Double] = Map.empty,
@@ -228,8 +264,8 @@ object VotesFixtures {
         Array(LangProb(l, probs.getOrElse(lid, 0.9)))).orNull
     Stage1Row("src99-1900-01-01-a-i0001", "src99", "1900", len, orig,
       ratio, arr("impresso_ft"), arr("wp_ft"), arr("langid_nb"),
-      arr("lingua_rank"), ppl, audioOk, if (audioOk) 5000.0 else 0.0,
-      800, "text " * 40, "ts", "v")
+      arr("lingua_rank"), arr("impresso_lp"), ppl, audioOk,
+      if (audioOk) 5000.0 else 0.0, 800, "text " * 40, "ts", "v")
   }
 
   def st(dominant: String = "de",

@@ -110,9 +110,18 @@ class DedupSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     info(s"near=${ham(h0, h2)} far=${ham(h0, h3)}")
     assert(ham(h0, h2) < ham(h0, h3))
-    val pairs = Dedup.simHash(docs, "doc_id", "text", maxHamming = ham(h0, h2))
+    // chunk count sized to the pigeonhole guarantee the query needs
+    // (the operator rejects maxHamming > chunks-1 — recall honesty)
+    val ham02 = ham(h0, h2)
+    val chunks = Seq(4, 8, 16, 32, 64).find(_ - 1 >= ham02).get
+    val pairs = Dedup.simHash(docs, "doc_id", "text",
+      maxHamming = ham02, chunks = chunks)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 2L)))
+    // parameters beyond the guarantee are rejected, not silently weak
+    intercept[IllegalArgumentException] {
+      Dedup.simHash(docs, "doc_id", "text", maxHamming = 10, chunks = 4)
+    }
   }
 }
 

@@ -97,6 +97,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree.toDouble / total >= 0.98)
   }
 
+  test("per-item eval rows enable error analysis (EV:105-122 analog)") {
+    import spark.implicits._
+    val items = Eval.perItem(spark, result.decisions, goldDs)
+    // one row per gold-labeled item; correct <=> lg == gold_lg
+    val goldLabeled = goldDs.filter($"gold_lg".isNotNull).count()
+    assert(items.count() == goldLabeled)
+    val wrong = items.filter(!$"correct" || $"correct".isNull).collect()
+    // the aggregate accuracy must be reproducible from the per-item rows
+    val acc = 1.0 - wrong.length.toDouble / goldLabeled
+    info(f"per-item acc=$acc%.4f wrong=${wrong.length}")
+    // error analysis: every wrong row exposes prediction + gold + the
+    // decision code that produced it
+    wrong.take(5).foreach(r => info(r.toString))
+    assert(wrong.forall(r => !r.isNullAt(3))) // lg_decision present
+  }
+
   test("metrics: per-partition lineage rows cover all inputs") {
     val m = Pipeline.metrics(spark, result.decisions).collect()
     assert(m.map(_.rows_in).sum == N)

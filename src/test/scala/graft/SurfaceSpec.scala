@@ -29,6 +29,35 @@ class JsonlIOSpec extends AnyFunSuite {
     }
   }
 
+  test("P3 cleanup_attrs: required keys kept as nulls, optional nulls dropped, fixed order") {
+    // a no-decision row: lg is null (required -> explicit "lg":null),
+    // drop_reason null on the kept row (optional -> key absent)
+    val (clips, _) = model.ClipGen.corpus(300)
+    val decided = Stage2(spark, Stage1(spark, clips.toDS()),
+      Stage1b(spark, Stage1(spark, clips.toDS())).collect().toSeq)
+    val df = decided.select($"clip_id", $"lg", $"source", $"len",
+      $"orig_lg", $"lg_decision", $"drop_reason")
+    val lines = JsonlIO.cleanedJson(df, JsonlIO.DecisionRequired)
+      .as[String].collect()
+    assert(lines.length == 300)
+    // required keys present on EVERY line, in schema order
+    lines.foreach { l =>
+      assert(l.startsWith("{\"clip_id\":"), l)
+      assert(l.contains("\"lg\":"), l)
+      assert(l.contains("\"len\":"), l)
+      assert(l.indexOf("\"lg\":") < l.indexOf("\"len\":"), s"order: $l")
+    }
+    // some row has no decision -> literal "lg":null survives
+    val noLg = lines.filter(_.contains("\"lg\":null"))
+    assert(noLg.nonEmpty, "expected at least one no-decision row")
+    // optional null keys are dropped: a kept row has no drop_reason key
+    assert(lines.exists(l => !l.contains("\"drop_reason\"")), "kept rows")
+    // lines parse as JSON (escaping sanity via Spark's own JSON reader)
+    val parsed = spark.read.json(spark.createDataset(lines.toSeq))
+    assert(parsed.count() == 300)
+    assert(parsed.filter(col("lg").isNull).count() == noLg.length)
+  }
+
   test("stats JSON roundtrip (S5/S7)") {
     val (clips, _) = model.ClipGen.corpus(400)
     val stats = Stage1b(spark, Stage1(spark, clips.toDS())).collect().toSeq
@@ -114,6 +143,38 @@ class DiagnosticsSpec extends AnyFunSuite {
     assert(reasons.values.sum == 1000L)
     assert(reasons.keySet == Set("processed", "skipped_no_text",
       "skipped_short_text"))
+  }
+
+  test("F2: three-way skip-reason taxonomy on planted fixtures (LI:633-659)") {
+    import graft.model.ClipRow
+    import graft.codec.Audio
+    val pcm = Audio.encode("pcm_s16le", Audio.synth(7L, 8000, 1600))
+    def clip(id: String, text: String) =
+      ClipRow(s"srcf-1900-01-01-a-i000$id", pcm, 8000, 200, "pcm_s16le", text, null)
+    val planted = Seq(
+      clip("1", null), // -> no_text (missing field)
+      clip("2", "   "), // -> short_text (present, trims empty — LI:518)
+      clip("3", "tiny"), // -> short_text
+      clip("4", "12345 678 910 11 12 13 14 15!!"), // long, alpha 0 -> low_alpha
+      clip("5", "dies ist ein ganz normaler deutscher satz über etwas"))
+    // stage-1 alpha threshold raised from the 0.0 default so low_alpha
+    // is reachable (the reference gates it the same way, LI:848-856)
+    val s1p = Stage1(spark, spark.createDataset(planted),
+      Stage1.Params(alphaThreshold = 0.5))
+    val rows = s1p.collect().sortBy(_.clip_id)
+    assert(rows.map(_.skip_reason).toSeq ==
+      Seq("no_text", "short_text", "short_text", "low_alpha", null))
+    val d = Diagnostics.stage1Stats(spark, s1p)
+      .filter($"stat" === "reason")
+      .select($"key", $"n").as[(String, Long)].collect().toMap
+    assert(d == Map("skipped_no_text" -> 1L, "skipped_short_text" -> 2L,
+      "skipped_low_alpha" -> 1L, "processed" -> 1L))
+    // the stage-2 drop reason carries the same taxonomy through
+    val decided = Stage2(spark, s1p,
+      Stage1b(spark, s1p).collect().toSeq).collect()
+      .map(r => r.clip_id.takeRight(1) -> r.drop_reason).toMap
+    assert(decided("1") == "no_text" && decided("2") == "short_text"
+      && decided("4") == "low_alpha")
   }
 }
 
