@@ -69,15 +69,19 @@ object Bench {
     val clipsPerSec = nClips / pipelineSec
     result.stage1.unpersist()
 
-    // ---- 2. query suite
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(_._1.startsWith("pipeline_"))
-      .map { case (name, fn) =>
-        val q0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - q0) / 1e9
-      }
+    // ---- 2. query suite (SPARK_GRAFT_SUITE=0 skips it — scaling legs
+    // only need the pipeline clips/s and the suite is wasted work there)
+    val runSuite = sys.env.getOrElse("SPARK_GRAFT_SUITE", "1") != "0"
+    val results =
+      if (!runSuite) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filterNot(_._1.startsWith("pipeline_"))
+        .map { case (name, fn) =>
+          val q0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - q0) / 1e9
+        }
     val qs = (results :+ ("pipeline" -> pipelineSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipelineSec

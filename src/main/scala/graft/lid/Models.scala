@@ -238,6 +238,150 @@ final class NaiveBayesLid(val langs: Vector[String]) extends LangDetector {
   }
 }
 
+/** langdetect-style 6th ensemble member (C1,
+  * lib/language_identification.py:131-166 `avg_langdetect_lid`): the
+  * reference averages n=3 STOCHASTIC langdetect runs (each run randomly
+  * subsamples features), early-stopping when a run's top language has
+  * prob > 0.95 AND is one of the default languages {de, fr}, lowercase
+  * pre-norm, probabilities rounded to 9 digits. SURVEY §7.4 rules out
+  * replicating nondeterminism, so the sampling is DERIVED rather than
+  * drawn: trial t keeps a gram iff splitmix(gramKey ^ seed_t) clears a
+  * fixed keep-rate — same averaged-trials + early-stop shape, bit-stable
+  * across runs. The underlying model is a multinomial NB over char
+  * 1..3-grams (one gram order more than [[NaiveBayesLid]]'s 1..2; raw
+  * posteriors, no length tempering — langdetect saturates the same way),
+  * all three trial scores accumulated in ONE pass over grams. */
+final class SampledNbLid(
+    val langs: Vector[String],
+    trials: Int = 3,
+    keepRate: Double = 0.8,
+    earlyStopThreshold: Double = 0.95,
+    earlyStopLangs: Set[String] = Set("de", "fr")) extends LangDetector {
+
+  private val k = langs.length
+  private val logLik = new scala.collection.mutable.LongMap[Array[Double]]
+  private val defaults = new Array[Double](k)
+  private val keepBound = (keepRate * (1L << 62)).toLong
+  private val trialSeeds = Array.tabulate(trials)(t => 42L + t) // LI:155-160
+  private val earlyIdx = langs.zipWithIndex
+    .filter(li => earlyStopLangs.contains(li._1)).map(_._2).toArray
+
+  private def packGram(t: String, i: Int, n: Int): Long = {
+    var key = n.toLong << 48
+    var j = i
+    while (j < i + n) { key = (key << 16) | t.charAt(j); j += 1 }
+    key
+  }
+
+  def train(corpus: Seq[(String, String)]): this.type = {
+    val idx = langs.zipWithIndex.toMap
+    val counts = Array.fill(k)(new scala.collection.mutable.LongMap[Int])
+    val totals = new Array[Long](k)
+    corpus.foreach { case (l, s) =>
+      idx.get(l).foreach { y =>
+        val t = s.toLowerCase
+        var n = 1
+        while (n <= 3) {
+          var i = 0
+          while (i + n <= t.length) {
+            val g = packGram(t, i, n)
+            counts(y)(g) = counts(y).getOrElse(g, 0) + 1
+            totals(y) += 1
+            i += 1
+          }
+          n += 1
+        }
+      }
+    }
+    val vocab = counts.iterator.flatMap(_.keysIterator).toSet
+    val vocabSize = vocab.size.toDouble
+    var c = 0
+    while (c < k) {
+      defaults(c) = math.log(1.0 / (totals(c) + vocabSize))
+      c += 1
+    }
+    vocab.foreach { g =>
+      val v = new Array[Double](k)
+      var c2 = 0
+      while (c2 < k) {
+        v(c2) = math.log(
+          (counts(c2).getOrElse(g, 0) + 1.0) / (totals(c2) + vocabSize))
+        c2 += 1
+      }
+      logLik(g) = v
+    }
+    this
+  }
+
+  /** Deterministic per-trial gram inclusion (the derived "sampling"). */
+  private def keeps(g: Long, t: Int): Boolean = {
+    var x = g ^ (trialSeeds(t) * 0x9e3779b97f4a7c15L)
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    ((x ^ (x >>> 31)) >>> 2) < keepBound
+  }
+
+  override def predict(text: String): Array[(String, Double)] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val t = text.toLowerCase // LI:158 lowercase pre-norm
+    val scores = Array.ofDim[Double](trials, k)
+    var any = false
+    var n = 1
+    while (n <= 3) {
+      var i = 0
+      while (i + n <= t.length) {
+        val g = packGram(t, i, n)
+        val v = logLik.getOrNull(g)
+        var tr = 0
+        while (tr < trials) {
+          if (keeps(g, tr)) {
+            any = true
+            val s = scores(tr)
+            var c = 0
+            if (v != null) { while (c < k) { s(c) += v(c); c += 1 } }
+            else { while (c < k) { s(c) += defaults(c); c += 1 } }
+          }
+          tr += 1
+        }
+        i += 1
+      }
+      n += 1
+    }
+    if (!any) return Array.empty
+    // early-stop contract (LI:159-164): stop after the first trial whose
+    // top prob clears the threshold AND whose top lang is a default lang;
+    // average over the trials actually "run"
+    val posts = scores.map(Detectors.softmax)
+    var used = trials
+    var tr = 0
+    var stop = false
+    while (tr < trials && !stop) {
+      val p = posts(tr)
+      var best = 0
+      var c = 1
+      while (c < k) { if (p(c) > p(best)) best = c; c += 1 }
+      if (p(best) > earlyStopThreshold && earlyIdx.contains(best)) {
+        used = tr + 1
+        stop = true
+      }
+      tr += 1
+    }
+    val avg = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var t2 = 0
+      while (t2 < used) { s += posts(t2)(c); t2 += 1 }
+      avg(c) = s / used
+      c += 1
+    }
+    // averaged distribution, round 9 (LI:138, 166), tiny entries dropped
+    Detectors.sortPreds(langs.zip(avg))
+      .filter(_._2 > 0.01)
+      .map { case (l, p) => (l, TextStats.roundTo(p, 9)) }
+  }
+}
+
 /** lingua-style: per-language top-M trigram rank profiles; score is the
   * normalized out-of-place distance turned into a confidence, keeping
   * entries with confidence > 0.05 (LI:434). */
@@ -479,16 +623,19 @@ final case class LidModels(
     impressoFt: HashedLinearLid,
     wpFt: HashedLinearLid,
     langidNb: NaiveBayesLid,
+    langdetectNb: SampledNbLid,
     linguaRank: RankLid,
     impressoLp: ProtoLid,
     charLm: CharLm) extends Serializable {
 
-  /** System name → detector, in the reference's LID-system order
-    * (LI:761-785). */
+  /** System name → detector — SIX systems, the reference's full ensemble
+    * breadth (langdetect, langid, impresso_ft, wp_ft,
+    * impresso_langident_pipeline, lingua — LI:761-785). */
   def systems: Seq[(String, LangDetector)] = Seq(
     "impresso_ft" -> impressoFt,
     "wp_ft" -> wpFt,
     "langid_nb" -> langidNb,
+    "langdetect_nb" -> langdetectNb,
     "lingua_rank" -> linguaRank,
     "impresso_lp" -> impressoLp)
 }
@@ -504,6 +651,7 @@ object LidModels {
       wpFt = new HashedLinearLid(LangCorpus.Languages, dim = 1 << 13,
         epochs = 2, lr = 0.2).train(corpus),
       langidNb = new NaiveBayesLid(LangCorpus.Languages).train(corpus),
+      langdetectNb = new SampledNbLid(LangCorpus.Languages).train(corpus),
       linguaRank = new RankLid(LangCorpus.Languages).train(corpus),
       impressoLp = new ProtoLid(LangCorpus.Languages).train(corpus),
       charLm = new CharLm().train(corpus.map(_._2)))

@@ -37,8 +37,9 @@ final case class Stage1Row(
     impresso_ft: Array[LangProb], // nullable
     wp_ft: Array[LangProb],
     langid_nb: Array[LangProb],
+    langdetect_nb: Array[LangProb], // C1 (averaged sampled-NB trials)
     lingua_rank: Array[LangProb],
-    impresso_lp: Array[LangProb], // 5th ensemble member (C5)
+    impresso_lp: Array[LangProb], // C5 (Rocchio nearest-centroid)
     ppl: Option[Double], // char-LM perplexity; absent when no text
     audio_ok: Boolean, // decodable + non-empty
     audio_rms: Double,

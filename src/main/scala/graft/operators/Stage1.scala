@@ -62,7 +62,7 @@ object Stage1 {
     if (skipReason != null) {
       // pass through with base fields only (F1 note: not dropped)
       Stage1Row(clip.clip_id, parseSource(clip.clip_id), parseYear(clip.clip_id),
-        len, clip.orig_lg, None, null, null, null, null, null,
+        len, clip.orig_lg, None, null, null, null, null, null, null,
         None, audioOk, rms, if (pcm == null) 0 else pcm.length,
         clip.transcript, Thresholds.FixedTs, Thresholds.Stage1Version,
         skip_reason = skipReason)
@@ -80,6 +80,7 @@ object Stage1 {
         safe(models.impressoFt.predict),
         safe(models.wpFt.predict),
         safe(models.langidNb.predict),
+        safe(models.langdetectNb.predict),
         safe(models.linguaRank.predict),
         safe(models.impressoLp.predict),
         Some(TextStats.roundTo(models.charLm.perplexity(text), 3)),

@@ -30,16 +30,21 @@ object Stage1b {
       admissible: Set[String] = null)
 
   val LidNames: Seq[String] =
-    Seq("impresso_ft", "wp_ft", "langid_nb", "lingua_rank", "impresso_lp")
+    Seq("impresso_ft", "wp_ft", "langid_nb", "langdetect_nb",
+      "lingua_rank", "impresso_lp")
 
   /** (name, predictions) pairs of every LID system on a row — the single
     * place the system list is enumerated for voting/stats/diagnostics. */
   def systemsOf(r: Stage1Row): Seq[(String, Array[LangProb])] = Seq(
     "impresso_ft" -> r.impresso_ft, "wp_ft" -> r.wp_ft,
-    "langid_nb" -> r.langid_nb, "lingua_rank" -> r.lingua_rank,
-    "impresso_lp" -> r.impresso_lp)
+    "langid_nb" -> r.langid_nb, "langdetect_nb" -> r.langdetect_nb,
+    "lingua_rank" -> r.lingua_rank, "impresso_lp" -> r.impresso_lp)
 
-  private val Sep = ""
+  // compound-key separator: U+0001 (written as an escape so it stays
+  // visible in the source; a raw control-char literal renders as an
+  // empty string and invites an accidental "fix"). Lang codes and lid
+  // names never contain it.
+  private val Sep = "\u0001"
 
   /** Mergeable per-source counter bundle (compound `lidlang` keys
     * keep the encoder to flat string-keyed maps). */

@@ -251,7 +251,8 @@ object VotesFixtures {
   val p = Stage2.Params()
 
   def all(l: String): Map[String, String] = Map("impresso_ft" -> l,
-    "wp_ft" -> l, "langid_nb" -> l, "lingua_rank" -> l, "impresso_lp" -> l)
+    "wp_ft" -> l, "langid_nb" -> l, "langdetect_nb" -> l,
+    "lingua_rank" -> l, "impresso_lp" -> l)
 
   def row(preds: Map[String, String] = Map.empty,
       probs: Map[String, Double] = Map.empty,
@@ -264,7 +265,8 @@ object VotesFixtures {
         Array(LangProb(l, probs.getOrElse(lid, 0.9)))).orNull
     Stage1Row("src99-1900-01-01-a-i0001", "src99", "1900", len, orig,
       ratio, arr("impresso_ft"), arr("wp_ft"), arr("langid_nb"),
-      arr("lingua_rank"), arr("impresso_lp"), ppl, audioOk,
+      arr("langdetect_nb"), arr("lingua_rank"), arr("impresso_lp"),
+      ppl, audioOk,
       if (audioOk) 5000.0 else 0.0, 800, "text " * 40, "ts", "v")
   }
 

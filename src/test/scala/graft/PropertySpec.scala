@@ -57,6 +57,7 @@ class PropertySpec extends AnyFunSuite {
 
   private val rowGen: Gen[Stage1Row] = for {
     a <- predArr; b <- predArr; c <- predArr; d <- predArr; e <- predArr
+    f <- predArr
     orig <- Gen.option(langGen)
     len <- Gen.choose(0, 500)
     ratio <- Gen.option(Gen.choose(0.0, 1.0))
@@ -64,7 +65,7 @@ class PropertySpec extends AnyFunSuite {
     audioOk <- Gen.oneOf(true, false)
     rms <- Gen.oneOf(Gen.const(0.0), Gen.choose(1.0, 9999.0))
   } yield Stage1Row("srcXX-1900-01-01-a-i0001", "srcXX", "1900", len,
-    orig.orNull, ratio, a, b, c, d, e, ppl, audioOk,
+    orig.orNull, ratio, a, b, c, d, e, f, ppl, audioOk,
     rms.asInstanceOf[Double],
     100, if (len == 0) null else "x" * len, "ts", "v")
 
