@@ -267,6 +267,19 @@ object SparkEntry {
     "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
+    "dedup_components" -> ((s, d) => {
+      // keep-policy step: connected components over duplicate pairs.
+      // Pairs here are deterministic consecutive-id chains (4-node
+      // chains per block of 10 ids) so the result is oracle-checkable
+      // AND the propagation genuinely needs multiple rounds; the
+      // operator's production inputs are the pair outputs of the
+      // minhash/simhash/jaccard tiers above.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val cand = docs.filter(col("doc_id") % 10 <= 2)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      val pairs = cand.join(docs.withColumnRenamed("doc_id", "b"), Seq("b"))
+      Dedup.components(pairs).select(col("id"), col("label"))
+    }),
     "dedup_simhash" -> ((s, d) => // approximate — rows-only check
       // maxHamming = chunks-1: the exact envelope the 4x16-bit pigeonhole
       // guarantees (r1 asked 10 here, where recall was luck — the
@@ -469,6 +482,13 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "dedup_components" ->
+      // edges live inside one block of 10 ids (a%10<=2, b=a+1), and doc
+      // ids are contiguous, so each block's nodes form one component
+      // whose label is the partition min
+      """WITH e AS (SELECT a.doc_id AS a, b.doc_id AS b FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 10 <= 2),
+         n AS (SELECT DISTINCT id FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e) u)
+         SELECT id, min(id) OVER (PARTITION BY CAST(floor(id / 10) AS BIGINT)) AS label FROM n""",
     "sim_topk_bruteforce" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           q AS (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5),

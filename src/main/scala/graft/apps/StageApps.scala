@@ -91,8 +91,15 @@ object Stage2App {
     val s1 = spark.read.parquet(in).as[Stage1Row]
     val stats = JsonlIO.readStats(spark, statsIn)
     val decisions = Stage2(spark, s1, stats)
-    AppSession.write(decisions.toDF(), out)
-    OutputContract.validateDecisions(spark, spark.read.parquet(out))
+    if (out.contains(".jsonl")) {
+      // decisions JSONL uses the cleanup_attrs contract (P3): required
+      // keys survive as explicit nulls, optional nulls are dropped
+      JsonlIO.writeJsonlCleaned(decisions.toDF(), out,
+        JsonlIO.DecisionRequired)
+    } else {
+      AppSession.write(decisions.toDF(), out)
+      OutputContract.validateDecisions(spark, spark.read.parquet(out))
+    }
     AppSession.write(graft.Pipeline.metrics(spark, decisions).toDF(),
       s"$out.metrics")
     spark.stop()

@@ -317,6 +317,72 @@ object Dedup {
       .distinct()
   }
 
+  // --------------------------------------------- components / keep policy
+  /** Connected components over near-dup candidate PAIRS — the keep-policy
+    * step every pair-producing dedup tier above feeds into: duplicates
+    * are transitive (a~b, b~c => one cluster), so the keeper must be
+    * chosen per COMPONENT, not per pair. Returns (id, label) for every id
+    * appearing in `pairs`, where label = the component's minimal id; keep
+    * policy is then `id == label` (plus all ids never seen in a pair).
+    *
+    * Algorithm: iterative min-label propagation. Each round, every node
+    * takes the min of its own label and its neighbors' labels — one
+    * join + one groupBy(min) per round, converging in O(component
+    * diameter) rounds. Near-dup components are shallow in practice
+    * (stars/cliques around a template), so rounds stay single-digit; the
+    * `maxIter` guard and the convergence check (a metadata-sized count,
+    * not a collect of labels) bound adversarial chains. Labels persist
+    * per round and the DAG is truncated with localCheckpoint so the plan
+    * doesn't grow with iterations — at 10^12-row scale each round is a
+    * fixed-size shuffle keyed by node id, nothing driver-side. */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // symmetric edge list (propagation must flow both directions)
+    val edges = pairs.select($"a".cast("long").as("id"),
+      $"b".cast("long").as("nbr"))
+      .union(pairs.select(col("b").cast("long").as("id"),
+        col("a").cast("long").as("nbr")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy($"id")
+      .agg(min($"nbr").as("mn"))
+      .select($"id", least($"id", $"mn").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // neighbor labels + own label, min per node
+      val next = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .select($"id", $"label")
+        .union(labels)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint(eager = true) // truncate lineage per round
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-policy materializer: one row per input doc with its duplicate-
+    * cluster label and the keep decision (keeper = minimal id of the
+    * component; docs in no pair keep themselves). */
+  def keepPolicy(df: DataFrame, idCol: String,
+      pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val labels = components(pairs, maxIter)
+    df.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("label"))
+      .withColumn("keep", col("id") === col("label"))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** Row-local 64-bit SimHash over char shingles. */
   def simHash64(text: String, n: Int = 4): Long = {

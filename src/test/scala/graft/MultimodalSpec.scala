@@ -181,6 +181,31 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF survives a CLUSTER-ORDERED corpus (spread sampling, not first-ids)") {
+    // ids sorted by cluster: ids [0,50) = cluster 0, [50,100) = cluster 1,
+    // etc. A first-maxSample-ids trainer would only ever see cluster 0/1
+    // and silently collapse recall on later clusters — the hash-spread
+    // sample must keep recall high for queries from EVERY cluster.
+    val ordered = (0L until 200L).map { i =>
+      val c = (i / 50).toInt
+      val v = Array.tabulate(16)(d =>
+        (if (d == c) 10.0f else 0.0f) +
+          (((i * 31 + d * 7) % 13) - 6) * 0.1f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    // one query from each cluster
+    val queries = Seq(0L, 50L, 100L, 150L)
+    val exact = Similarity.bruteForceTopK(ordered, "vec_id", "embedding",
+      queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTopK(ordered, "vec_id", "embedding",
+      queries, nLists = 4, nProbe = 1, k = 5, maxSample = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF recall@5 (cluster-ordered ids, nProbe=1, sample=64) = $recall%.2f")
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("centroid training is deterministic and centroids are unit-norm") {
     val sample = (0 until 64).map { i =>
       Array.tabulate(8)(d => ((i * 13 + d * 5) % 17 - 8).toDouble)

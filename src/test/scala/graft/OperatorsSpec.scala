@@ -103,6 +103,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)), s"got $pairs")
   }
 
+  test("components: chains, stars, and disjoint clusters get min-id labels") {
+    // chain 0-1-2-...-9 (diameter 9 forces multiple propagation rounds),
+    // star centered at 20, and an isolated pair
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L)))
+      .toDF("a", "b")
+    val labels = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(labels(i) == 0L, s"chain node $i"))
+    (20L to 23L).foreach(i => assert(labels(i) == 20L, s"star node $i"))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+    assert(labels.size == 16)
+  }
+
+  test("keepPolicy: one keeper per duplicate cluster, singletons kept") {
+    // real near-dup pairs from the exact tier feed the policy
+    val pairs = Seq((0L, 1L), (1L, 5L)).toDF("a", "b") // 0,1,5 one cluster
+    val policy = Dedup.keepPolicy(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(policy(0L) == (0L, true)) // cluster keeper
+    assert(policy(1L) == (0L, false))
+    assert(policy(5L) == (0L, false))
+    Seq(2L, 3L, 4L).foreach(i => assert(policy(i) == (i, true))) // singletons
+    assert(policy.values.count(_._2) == 4) // 1 keeper + 3 singletons
+  }
+
   test("simhash: near-identical texts land within small hamming distance") {
     val h0 = Dedup.simHash64(base)
     val h2 = Dedup.simHash64(base.replace("gestern", "heute"))

@@ -39,6 +39,43 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(r(2L) == null)
   }
 
+  test("mismatched lengths yield NULL, never a silent truncation") {
+    val mism = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)), // 3 vs 2
+      (2L, Seq(1.0, 2.0), Seq(3.0, 4.0))
+    ).toDF("id", "a", "b")
+      .select($"id", $"a".cast("array<double>").as("a"),
+        $"b".cast("array<double>").as("b"))
+    val r = mism.select($"id", VectorOps.dot($"a", $"b").as("d")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getDouble(1)))
+      .toMap
+    assert(r(1L) == null) // a plausible-but-wrong cosine would corrupt dedup
+    assert(r(2L) == 11.0)
+    // same contract for the MinHash estimator expression
+    val sigs = Seq(
+      (1L, Seq(7L, 8L, 9L), Seq(7L, 1L)), // 3 vs 2 -> null
+      (2L, Seq(7L, 8L, 9L), Seq(7L, 8L, 0L)) // 2 equal slots
+    ).toDF("id", "a", "b")
+      .select($"id", $"a".cast("array<bigint>").as("a"),
+        $"b".cast("array<bigint>").as("b"))
+    val e = sigs.select($"id", VectorOps.eqCount($"a", $"b").as("c")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getInt(1)))
+      .toMap
+    assert(e(1L) == null)
+    assert(e(2L) == 2)
+  }
+
+  test("vec_eq_count stays inside whole-stage codegen") {
+    VectorOps.register(spark)
+    val vecs = spark.range(100).select($"id",
+      transform(sequence(lit(0), lit(7)), i => i + $"id").as("a"))
+    val plan = vecs.select(VectorOps.eqCount($"a", $"a").as("c"))
+      .queryExecution.executedPlan
+    val code = org.apache.spark.sql.execution.debug.codegenString(plan)
+    assert(code.contains("EqCountUtil.eqCount"),
+      "vec_eq_count fell back to interpreted eval")
+  }
+
   test("vec_dot works from SQL and rejects wrong types") {
     df.createOrReplaceTempView("vo")
     val viaSql = spark.sql("SELECT vec_dot(a, b) AS d FROM vo WHERE id = 3")
