@@ -258,11 +258,11 @@ final class SampledNbLid(
     earlyStopThreshold: Double = 0.95,
     earlyStopLangs: Set[String] = Set("de", "fr")) extends LangDetector {
 
+  require(trials <= 8, "trial coins are carved from one 64-bit mix")
   private val k = langs.length
   private val logLik = new scala.collection.mutable.LongMap[Array[Double]]
   private val defaults = new Array[Double](k)
-  private val keepBound = (keepRate * (1L << 62)).toLong
-  private val trialSeeds = Array.tabulate(trials)(t => 42L + t) // LI:155-160
+  private val keepByte = (keepRate * 256).toInt // per-trial coin: byte < this
   private val earlyIdx = langs.zipWithIndex
     .filter(li => earlyStopLangs.contains(li._1)).map(_._2).toArray
 
@@ -313,12 +313,15 @@ final class SampledNbLid(
     this
   }
 
-  /** Deterministic per-trial gram inclusion (the derived "sampling"). */
-  private def keeps(g: Long, t: Int): Boolean = {
-    var x = g ^ (trialSeeds(t) * 0x9e3779b97f4a7c15L)
+  /** Deterministic per-gram coin word: ONE splitmix per gram; trial t's
+    * inclusion coin is byte t of the mix (trials stay independent
+    * subsamples, at a third of the hashing cost — this is the per-gram
+    * hot loop, 3 gram orders per char). Seeded at 42 (LI:155). */
+  private def coinWord(g: Long): Long = {
+    var x = g ^ (42L * 0x9e3779b97f4a7c15L)
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    ((x ^ (x >>> 31)) >>> 2) < keepBound
+    x ^ (x >>> 31)
   }
 
   override def predict(text: String): Array[(String, Double)] = {
@@ -332,9 +335,10 @@ final class SampledNbLid(
       while (i + n <= t.length) {
         val g = packGram(t, i, n)
         val v = logLik.getOrNull(g)
+        val coins = coinWord(g)
         var tr = 0
         while (tr < trials) {
-          if (keeps(g, tr)) {
+          if (((coins >>> (tr * 8)) & 0xffL) < keepByte) {
             any = true
             val s = scores(tr)
             var c = 0

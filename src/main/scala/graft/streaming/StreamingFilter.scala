@@ -87,6 +87,53 @@ object StreamingFilter {
       }
   }
 
+  /** Streaming exact dedup across micro-batches: the first clip with a
+    * given normalized-transcript digest passes, every later arrival —
+    * including in a LATER micro-batch or after a restart — is dropped,
+    * because seen digests live in the checkpointed state store. This is
+    * the incremental twin of [[graft.operators.Dedup.exact]], the shape a
+    * continuously-ingesting training pipeline needs (batch dedup can't
+    * see yesterday's corpus without re-reading it).
+    *
+    * State is keyed by the 128-bit digest only (not the text), so at
+    * 10^12 clips the store holds 16-byte keys + booleans — and a real
+    * deployment would bound it with a watermark on ingest time
+    * (`dropDuplicatesWithinWatermark`) once dedup only needs to look
+    * back a bounded horizon. mapGroupsWithState is used instead of
+    * `dropDuplicates` so the keep decision is explicit and testable
+    * per row (first-wins by (batch, clip_id) order). */
+  def streamingDedup(clips: Dataset[ClipRow]): Dataset[ClipRow] = {
+    import clips.sparkSession.implicits._
+    clips
+      // null-transcript clips are NOT duplicates of each other: they key
+      // by their own id so none is swallowed (the quality gates judge
+      // them later)
+      .groupByKey(c =>
+        if (c.transcript == null) "id:" + c.clip_id else digest(c.transcript))
+      .flatMapGroupsWithState[Boolean, ClipRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ClipRow], seen: GroupState[Boolean]) =>
+          if (seen.exists) Iterator.empty // digest seen in an earlier batch
+          else {
+            seen.update(true)
+            // first-wins within the batch too: minimal clip_id
+            var best: ClipRow = null
+            rows.foreach { c =>
+              if (best == null || c.clip_id < best.clip_id) best = c
+            }
+            Iterator.single(best)
+          }
+      }
+  }
+
+  /** Normalized-transcript digest (the [[graft.operators.Dedup.exact]]
+    * key). */
+  def digest(transcript: String): String = {
+    val norm = transcript.trim.toLowerCase.replaceAll("\\s+", " ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Windowed per-source keep-rate monitoring with a watermark —
     * event time is synthesized from the clip id's year (the corpus has
     * no ingest timestamp; production would use one). Late rows beyond

@@ -220,6 +220,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == 500L)
   }
 
+  test("streaming dedup drops duplicates across micro-batches via state store") {
+    import graft.model.ClipRow
+    val pcm = graft.codec.Audio.encode("pcm_s16le",
+      graft.codec.Audio.synth(11L, 8000, 800))
+    def clip(id: Int, text: String) = ClipRow(
+      f"srcd-1900-01-01-a-i$id%04d", pcm, 8000, 100, "pcm_s16le", text, null)
+    val batch1 = Seq(
+      clip(1, "ein ganz normaler satz über die stadt"),
+      clip(2, "  EIN GANZ  normaler satz über die stadt "), // dup of 1 mod norm
+      clip(3, "un texte différent sur le conseil municipal"),
+      clip(4, null), clip(5, null)) // null texts are NOT dups of each other
+    val batch2 = Seq(
+      clip(6, "ein ganz normaler satz über die stadt"), // dup of batch-1 #1
+      clip(7, "noch ein völlig neuer deutscher satz hier"))
+
+    // batch parity: one pass keeps the min-id per digest + both nulls
+    val batchKept = StreamingFilter.streamingDedup(
+      (batch1 ++ batch2).toDS()).collect().map(_.clip_id).sorted
+    assert(batchKept.map(_.takeRight(1)).toSeq == Seq("1", "3", "4", "5", "7"))
+
+    // streaming: the batch-2 duplicate is dropped by STATE from batch 1
+    val tmp = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    def drain(): Unit = {
+      val q = StreamingFilter.streamingDedup(
+        spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[ClipRow]].schema)
+          .parquet(in).as[ClipRow])
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    batch1.toDS().write.mode("append").parquet(in)
+    drain()
+    val after1 = spark.read.parquet(in) // touch input to avoid lazy surprises
+    assert(after1.count() == 5)
+    batch2.toDS().write.mode("append").parquet(in)
+    drain()
+    val streamed = spark.read.parquet(out).as[ClipRow].collect()
+      .map(_.clip_id.takeRight(1)).sorted.toSeq
+    // clip 6 (cross-batch duplicate) dropped; 7 kept
+    assert(streamed == Seq("1", "3", "4", "5", "7"), streamed.toString)
+  }
+
   test("flatMapGroupsWithState sessions span micro-batch boundaries") {
     import graft.streaming.{SessionEvent, SessionOut, StreamingFilter}
     val min = 60L * 1000000L // a minute in micros
