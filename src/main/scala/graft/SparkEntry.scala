@@ -380,6 +380,20 @@ object SparkEntry {
         .select(col("partition_id"), col("source"), col("rows_in"),
           col("rows_out"))
     }),
+    "pipeline_audio_resample" -> ((s, _) => {
+      // audio analog of mm_resize: decode -> linear-interpolation SRC to
+      // a target rate inside the same narrow mapPartitions stage
+      import s.implicits._
+      Pipeline.clips(s, 1000L, partitions = 8).map { c =>
+        val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
+        if (pcm == null) (c.clip_id, c.sr_hz, 0, 0, 0.0)
+        else {
+          val re = graft.codec.Audio.resampleLinear(pcm, c.sr_hz, 16000)
+          (c.clip_id, c.sr_hz, pcm.length, re.length,
+            graft.lid.TextStats.roundTo(graft.codec.Audio.rms(re), 1))
+        }
+      }.toDF("clip_id", "sr_hz", "n_in", "n_16k", "rms_16k")
+    }),
     "pipeline_audio_features" -> ((s, _) => {
       // mapPartitions feature-extraction over the binary column: decode,
       // zero-crossing rate, RMS, peak, 4x frame downsample length

@@ -165,6 +165,36 @@ object Audio {
     out
   }
 
+  /** Sample-rate conversion by linear interpolation — the audio analog of
+    * the image op's nearest-neighbor resize (real resampling math on the
+    * decoded grid; a production pipeline would add a low-pass filter
+    * before downsampling — out of scope as for image NN-resize). The
+    * rate-based grid `src = i * fromHz / toHz` preserves sample TIMING
+    * (output sample i sits at the same instant as input time i/toHz), so
+    * integer-ratio conversions land exactly on source samples — an
+    * 8k→16k→8k round trip is bit-exact. Output length = floor(n·to/from). */
+  def resampleLinear(samples: Array[Short], fromHz: Int,
+      toHz: Int): Array[Short] = {
+    if (samples == null) return null
+    require(fromHz > 0 && toHz > 0, "sample rates must be positive")
+    if (fromHz == toHz || samples.length <= 1) return samples.clone()
+    val n = samples.length
+    val m = math.max(1, (n.toLong * toHz / fromHz).toInt)
+    val out = new Array[Short](m)
+    val ratio = fromHz.toDouble / toHz
+    var i = 0
+    while (i < m) {
+      val src = i * ratio
+      val lo = math.min(n - 1, src.toInt)
+      val hi = math.min(n - 1, lo + 1)
+      val frac = src - lo
+      out(i) = math.round(
+        samples(lo) * (1.0 - frac) + samples(hi) * frac).toShort
+      i += 1
+    }
+    out
+  }
+
   /** Peak absolute amplitude (clipping indicator). */
   def peak(samples: Array[Short]): Int = {
     if (samples == null || samples.isEmpty) return 0
