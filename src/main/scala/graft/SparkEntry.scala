@@ -358,6 +358,66 @@ object SparkEntry {
       .select(col("doc_id"),
         substring(md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))),
           1, 16).as("fp"))),
+    "text_gopher" -> ((s, d) => {
+      // Gopher quality-filter scalar rules (Rae et al. 2021, A1): word
+      // count, mean word length, symbol-to-word ratio, alphabetic-word
+      // fraction, required-stopword hits, fused keep decision. All
+      // built-in Columns — whole-stage codegen, no UDF. The typed
+      // pipeline twin (incl. line-repetition rules the flat corpus
+      // can't exercise) is TextStats.gopher.
+      val d0 = t(s, d, "documents").select(col("doc_id"), col("text"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      val nW = size(col("ws")).cast("double")
+      val sumLen = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      val hashCnt =
+        length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val dotsCnt = (length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+      val ellCnt =
+        length(col("text")) - length(regexp_replace(col("text"), "…", ""))
+      val symbols = hashCnt + dotsCnt + ellCnt
+      val alphaWords = size(expr("filter(ws, w -> w rlike '\\\\p{L}')"))
+      val stopHits = size(array_intersect(
+        expr("transform(ws, w -> lower(w))"),
+        array(graft.lid.TextStats.GopherStopwords.map(lit): _*)))
+      val meanLen = round(sumLen / nW, 4)
+      val symRatio = round(symbols / nW, 4)
+      val alphaFrac = round(alphaWords / nW, 4)
+      d0.select(col("doc_id"),
+        size(col("ws")).as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+        stopHits.as("stop_hits"),
+        // keep gate: paper thresholds are 50 ≤ words and ≥2 stopword
+        // hits; the synthetic corpus is clip-transcript-sized and draws
+        // from a vocab containing only "the", so the query instantiates
+        // the gate at (10, ≥1) to exercise both outcomes — the operator
+        // (TextStats.gopher) takes these as parameters
+        (size(col("ws")).between(10, 100000) &&
+          meanLen.between(3.0, 10.0) && symRatio <= 0.1 &&
+          alphaFrac >= 0.8 && stopHits >= 1).as("keep"))
+    }),
+    "text_gopher_top2gram" -> ((s, d) => {
+      // Gopher repetition rule: fraction of characters inside the most
+      // frequent word 2-gram (ties broken lexicographically). Explode →
+      // count → per-doc argmax by window; at 100 TB the groupBy keys are
+      // (doc_id, bigram) so cardinality stays bounded by corpus tokens.
+      val w = t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"),
+          split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val b = w.select(col("doc_id"), col("n"),
+        explode(expr(
+          "transform(sequence(0, size(ws)-2), i -> concat(ws[i], ' ', ws[i+1]))"))
+          .as("bg"))
+      val c = b.groupBy(col("doc_id"), col("n"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("bg").asc)
+      c.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("bg").as("top_bigram"), col("cnt"),
+          round(col("cnt") * length(col("bg")) / col("n").cast("double"), 4)
+            .as("top2gram_char_frac"))
+    }),
 
     // ---------------- clip pipeline stages (non-SQL; rows-only checks)
     "pipeline_stage1" -> ((s, _) => {
@@ -410,6 +470,25 @@ object SparkEntry {
             graft.codec.Audio.frameSample(pcm, 4).length)
       }.toDF("clip_id", "codec", "decoded", "zcr", "rms", "peak",
         "n_frames_4x")
+    }),
+    "pipeline_audio_spectral" -> ((s, _) => {
+      // FFT spectral features + energy VAD in the same narrow codec
+      // stage: centroid/rolloff/flatness/bandwidth (radix-2 Cooley-
+      // Tukey, codec/Fft) plus speech ratio and silence-trimmed length
+      import s.implicits._
+      val rt = (x: Double, n: Int) => graft.lid.TextStats.roundTo(x, n)
+      Pipeline.clips(s, 1000L, partitions = 8).map { c =>
+        val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
+        if (pcm == null)
+          (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0)
+        else {
+          val (cen, roll, flat, bw) = graft.codec.Fft.spectralFeatures(pcm, c.sr_hz)
+          val (ratio, from, until) = graft.codec.Fft.vad(pcm)
+          (c.clip_id, true, rt(cen, 1), rt(roll, 1), rt(flat, 4), rt(bw, 1),
+            rt(ratio, 4), until - from)
+        }
+      }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
+        "bandwidth_hz", "speech_ratio", "voiced_samples")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -519,6 +598,22 @@ object SparkEntry {
           round(length(regexp_replace(text, '[^0-9]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS digit_ratio,
           round(length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|a)\b')) / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 4) AS stop_ratio
           FROM documents""",
+    "text_gopher" ->
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+          g AS (SELECT doc_id,
+            len(ws) AS n_words,
+            round(length(regexp_replace(trim(text), '\s+', '', 'g')) / CAST(len(ws) AS DOUBLE), 4) AS mean_word_len,
+            round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 + (length(text) - length(replace(text, '…', '')))) / CAST(len(ws) AS DOUBLE), 4) AS symbol_ratio,
+            round(len(list_filter(ws, w -> regexp_matches(w, '\p{L}'))) / CAST(len(ws) AS DOUBLE), 4) AS alpha_word_frac,
+            len(list_intersect(list_transform(ws, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) AS stop_hits
+          FROM w)
+          SELECT *, (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS keep FROM g""",
+    "text_gopher_top2gram" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+          b AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w),
+          c AS (SELECT doc_id, n, bg, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg ASC) AS rn FROM c)
+          SELECT doc_id, bg AS top_bigram, cnt, round(cnt * length(bg) / CAST(n AS DOUBLE), 4) AS top2gram_char_frac FROM r WHERE rn = 1""",
     "text_langid_heuristic" ->
       """SELECT doc_id, CASE
           WHEN length(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) >= length(regexp_extract_all(lower(text), '\b(le|la|les|et|des)\b'))

@@ -1,0 +1,181 @@
+package graft.codec
+
+/** Iterative radix-2 Cooley-Tukey FFT (public algorithm, textbook form)
+  * plus the spectral features a quality filter wants per audio clip:
+  * centroid, rolloff, flatness, bandwidth. All pure JVM — runs inside
+  * the narrow `mapPartitions` codec stage, never a UDF.
+  *
+  * Scale note: per-row cost is O(F · n log n) for F frames of n samples;
+  * no state, no shuffle — embarrassingly parallel across clips.
+  */
+object Fft {
+
+  /** In-place complex FFT. `re`/`im` length must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"fft size $n not a power of 2")
+    if (n <= 1) return
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k; val b = blk + k + len / 2
+          val tr = re(b) * cr - im(b) * ci
+          val ti = re(b) * ci + im(b) * cr
+          re(b) = re(a) - tr; im(b) = im(a) - ti
+          re(a) += tr; im(a) += ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Magnitude spectrum of a real frame (Hann-windowed), bins 0..n/2. */
+  def magnitudeSpectrum(frame: Array[Double]): Array[Double] = {
+    val n = frame.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val w = 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (n - 1))) // Hann
+      re(i) = frame(i) * w
+      i += 1
+    }
+    fft(re, im)
+    val out = new Array[Double](n / 2 + 1)
+    i = 0
+    while (i <= n / 2) {
+      out(i) = math.sqrt(re(i) * re(i) + im(i) * im(i))
+      i += 1
+    }
+    out
+  }
+
+  /** Spectral features of one clip: frame the signal (frameLen power of
+    * two, hop = frameLen/2), average the per-frame magnitude spectra,
+    * then reduce. Returns (centroidHz, rolloffHz, flatness, bandwidthHz);
+    * all-zero signal → (0, 0, 1, 0).
+    *
+    * - centroid: magnitude-weighted mean frequency
+    * - rolloff: frequency below which 85% of spectral energy lies
+    * - flatness: geometric / arithmetic mean of the power spectrum
+    *   (≈1 for noise, →0 for pure tones)
+    * - bandwidth: magnitude-weighted stddev around the centroid
+    */
+  def spectralFeatures(samples: Array[Short], sampleRate: Int,
+                       frameLen: Int = 1024): (Double, Double, Double, Double) = {
+    require((frameLen & (frameLen - 1)) == 0, "frameLen must be a power of 2")
+    if (samples == null || samples.length < frameLen)
+      return (0.0, 0.0, 1.0, 0.0)
+    val hop = frameLen / 2
+    val nBins = frameLen / 2 + 1
+    val acc = new Array[Double](nBins)
+    var start = 0; var frames = 0
+    val frame = new Array[Double](frameLen)
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
+      val mag = magnitudeSpectrum(frame)
+      var b = 0
+      while (b < nBins) { acc(b) += mag(b); b += 1 }
+      frames += 1
+      start += hop
+    }
+    var b = 0
+    while (b < nBins) { acc(b) /= frames; b += 1 }
+    val binHz = sampleRate.toDouble / frameLen
+    var sumMag = 0.0; var sumF = 0.0
+    b = 0
+    while (b < nBins) { sumMag += acc(b); sumF += acc(b) * b * binHz; b += 1 }
+    if (sumMag <= 1e-12) return (0.0, 0.0, 1.0, 0.0)
+    val centroid = sumF / sumMag
+    // rolloff at 85% of total energy (power, not magnitude)
+    var totPow = 0.0
+    b = 0
+    while (b < nBins) { totPow += acc(b) * acc(b); b += 1 }
+    var cum = 0.0; var rb = 0
+    while (rb < nBins && cum < 0.85 * totPow) { cum += acc(rb) * acc(rb); rb += 1 }
+    val rolloff = math.max(0, rb - 1) * binHz
+    // flatness over the power spectrum, excluding DC; floor to avoid log(0)
+    var logSum = 0.0; var ariSum = 0.0
+    b = 1
+    while (b < nBins) {
+      val p = math.max(acc(b) * acc(b), 1e-20)
+      logSum += math.log(p); ariSum += p
+      b += 1
+    }
+    val m = nBins - 1
+    val flatness = math.exp(logSum / m) / (ariSum / m)
+    var sumVar = 0.0
+    b = 0
+    while (b < nBins) {
+      val d = b * binHz - centroid
+      sumVar += acc(b) * d * d
+      b += 1
+    }
+    val bandwidth = math.sqrt(sumVar / sumMag)
+    (centroid, rolloff, flatness, bandwidth)
+  }
+
+  /** Energy-threshold voice-activity detection. Frames of `frameLen`
+    * samples (non-overlapping); a frame is active iff its RMS (relative
+    * to full scale) exceeds `threshold`. Returns
+    * (speechRatio, firstActiveSample, lastActiveSampleExclusive);
+    * no active frames → (0.0, 0, 0).
+    */
+  def vad(samples: Array[Short], frameLen: Int = 256,
+          threshold: Double = 0.01): (Double, Int, Int) = {
+    if (samples == null || samples.length == 0) return (0.0, 0, 0)
+    val nFrames = samples.length / frameLen
+    if (nFrames == 0) {
+      val r = Audio.rms(samples) / 32768.0
+      return if (r > threshold) (1.0, 0, samples.length) else (0.0, 0, 0)
+    }
+    var active = 0; var first = -1; var last = -1
+    var f = 0
+    while (f < nFrames) {
+      var s = 0.0
+      var i = f * frameLen
+      val end = i + frameLen
+      while (i < end) { val v = samples(i).toDouble; s += v * v; i += 1 }
+      val r = math.sqrt(s / frameLen) / 32768.0
+      if (r > threshold) {
+        active += 1
+        if (first < 0) first = f * frameLen
+        last = f * frameLen + frameLen
+      }
+      f += 1
+    }
+    if (first < 0) (0.0, 0, 0)
+    else (active.toDouble / nFrames, first, last)
+  }
+
+  /** Trim leading/trailing silence per `vad`; all-silent → empty. */
+  def trimSilence(samples: Array[Short], frameLen: Int = 256,
+                  threshold: Double = 0.01): Array[Short] = {
+    val (_, from, until) = vad(samples, frameLen, threshold)
+    java.util.Arrays.copyOfRange(samples, from, until)
+  }
+}

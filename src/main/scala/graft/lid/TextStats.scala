@@ -94,6 +94,95 @@ object TextStats {
       upper.toDouble / n, stopHits)
   }
 
+  // ------------------------------------------------- Gopher quality rules
+  // Public heuristics from Rae et al. 2021 ("Scaling Language Models:
+  // Methods, Analysis & Insights from Training Gopher", appendix A1):
+  // the de-facto standard quality filter for LLM training corpora.
+
+  /** The 8 "required word" stopwords from the Gopher filter: a document
+    * must contain ≥ 2 distinct ones. */
+  val GopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  final case class Gopher(
+      nWords: Int,
+      meanWordLen: Double,
+      symbolWordRatio: Double,   // (#'#' + #'...' + #'…') / words
+      alphaWordFrac: Double,     // words containing ≥1 alphabetic char
+      stopwordHits: Int,         // distinct GopherStopwords present
+      dupLineFrac: Double,       // duplicate lines / lines
+      dupLineCharFrac: Double,   // chars in duplicate lines / chars
+      keep: Boolean)
+
+  /** Count non-overlapping occurrences of `sub` in `s`. */
+  private def countOcc(s: String, sub: String): Int = {
+    var n = 0; var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+
+  /** Gopher scalar + line-repetition rules. Thresholds follow the paper
+    * except the word-count floor (the paper's 50 assumes web pages; the
+    * gate parameterizes it for clip transcripts). A word is alphabetic
+    * if it contains ≥ 1 Unicode letter. Line rules treat '\n' as the
+    * separator; a single-line document trivially passes them.
+    */
+  def gopher(text: String, minWords: Int = 50, maxWords: Int = 100000,
+             minStopHits: Int = 2): Gopher = {
+    if (text == null || text.trim.isEmpty)
+      return Gopher(0, 0.0, 0.0, 0.0, 0, 0.0, 0.0, keep = false)
+    val ws = whitespaceTokens(text)
+    val nWords = ws.length
+    var lenSum = 0L; var alphaWords = 0
+    var i = 0
+    while (i < nWords) {
+      val w = ws(i)
+      lenSum += w.length
+      var j = 0; var hasAlpha = false
+      while (j < w.length && !hasAlpha) {
+        if (Character.isLetter(w.charAt(j))) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      i += 1
+    }
+    val meanLen = lenSum.toDouble / nWords
+    val symbols = countOcc(text, "#") + countOcc(text, "...") + countOcc(text, "…")
+    val symRatio = symbols.toDouble / nWords
+    val lower = new java.util.HashSet[String]()
+    i = 0
+    while (i < nWords) { lower.add(ws(i).toLowerCase); i += 1 }
+    var stopHits = 0
+    i = 0
+    while (i < GopherStopwords.length) {
+      if (lower.contains(GopherStopwords(i))) stopHits += 1
+      i += 1
+    }
+    // line repetition (dup line fraction / dup line char fraction)
+    val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+    var dupLines = 0; var dupChars = 0L; var totChars = 0L
+    if (lines.length > 1) {
+      val seen = new java.util.HashMap[String, Int]()
+      lines.foreach { l =>
+        totChars += l.length
+        val c = seen.getOrDefault(l, 0)
+        if (c >= 1) { dupLines += 1; dupChars += l.length }
+        seen.put(l, c + 1)
+      }
+    } else totChars = if (lines.isEmpty) 0 else lines(0).length
+    val dlf = if (lines.length > 1) dupLines.toDouble / lines.length else 0.0
+    val dlcf = if (totChars > 0 && lines.length > 1) dupChars.toDouble / totChars else 0.0
+    val alphaFrac = alphaWords.toDouble / nWords
+    val keep =
+      nWords >= minWords && nWords <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio <= 0.1 &&
+        alphaFrac >= 0.8 &&
+        stopHits >= minStopHits &&
+        dlf <= 0.30 && dlcf <= 0.20
+    Gopher(nWords, meanLen, symRatio, alphaFrac, stopHits, dlf, dlcf, keep)
+  }
+
   /** 64-bit polynomial rolling-hash document fingerprint over the
     * whitespace-normalized lowercase text (graft text-analysis surface). */
   def fingerprint(text: String): Long = {

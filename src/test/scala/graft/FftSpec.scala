@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.{Audio, Fft}
+import graft.lid.TextStats
+
+class FftSpec extends AnyFunSuite {
+
+  private def naiveDft(x: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    for (k <- 0 until n; t <- 0 until n) {
+      val ang = -2.0 * math.Pi * k * t / n
+      re(k) += x(t) * math.cos(ang)
+      im(k) += x(t) * math.sin(ang)
+    }
+    (re, im)
+  }
+
+  test("fft matches naive DFT on a deterministic signal (n=64)") {
+    val x = Array.tabulate(64)(i => math.sin(0.3 * i) + 0.5 * math.cos(1.7 * i))
+    val (er, ei) = naiveDft(x)
+    val re = x.clone(); val im = new Array[Double](64)
+    Fft.fft(re, im)
+    for (k <- 0 until 64) {
+      assert(math.abs(re(k) - er(k)) < 1e-9, s"re bin $k")
+      assert(math.abs(im(k) - ei(k)) < 1e-9, s"im bin $k")
+    }
+  }
+
+  test("Parseval: time energy equals 1/n * spectral energy") {
+    val x = Array.tabulate(256)(i => math.cos(0.11 * i) * (1 + 0.01 * i))
+    val timeE = x.map(v => v * v).sum
+    val re = x.clone(); val im = new Array[Double](256)
+    Fft.fft(re, im)
+    val specE = (0 until 256).map(k => re(k) * re(k) + im(k) * im(k)).sum / 256
+    assert(math.abs(timeE - specE) / timeE < 1e-12)
+  }
+
+  test("fft rejects non-power-of-two sizes") {
+    intercept[IllegalArgumentException] {
+      Fft.fft(new Array[Double](100), new Array[Double](100))
+    }
+  }
+
+  test("spectral centroid of a pure 1 kHz sine is ~1 kHz; flatness near 0") {
+    val sr = 16000
+    val sine = Array.tabulate[Short](8192)(i =>
+      (12000 * math.sin(2 * math.Pi * 1000 * i / sr.toDouble)).toShort)
+    val (centroid, rolloff, flatness, bandwidth) = Fft.spectralFeatures(sine, sr)
+    info(f"sine: centroid=$centroid%.1f rolloff=$rolloff%.1f flat=$flatness%.4f bw=$bandwidth%.1f")
+    assert(math.abs(centroid - 1000.0) < 60.0, s"centroid $centroid")
+    assert(math.abs(rolloff - 1000.0) < 60.0, s"rolloff $rolloff")
+    assert(flatness < 0.05, s"flatness $flatness")
+    assert(bandwidth < 400.0, s"bandwidth $bandwidth")
+  }
+
+  test("noise is flatter and wider-band than a tone") {
+    val sr = 16000
+    val noise = Audio.synth(11L, sr, 8192)
+    val sine = Array.tabulate[Short](8192)(i =>
+      (12000 * math.sin(2 * math.Pi * 2000 * i / sr.toDouble)).toShort)
+    val (_, _, fN, bwN) = Fft.spectralFeatures(noise, sr)
+    val (_, _, fS, bwS) = Fft.spectralFeatures(sine, sr)
+    assert(fN > 10 * fS, s"noise flatness $fN vs sine $fS")
+    assert(bwN > bwS, s"noise bw $bwN vs sine $bwS")
+  }
+
+  test("degenerate spectral inputs") {
+    assert(Fft.spectralFeatures(null, 8000) == (0.0, 0.0, 1.0, 0.0))
+    assert(Fft.spectralFeatures(new Array[Short](10), 8000) == (0.0, 0.0, 1.0, 0.0))
+    // all-zero long enough signal
+    assert(Fft.spectralFeatures(new Array[Short](4096), 8000) == (0.0, 0.0, 1.0, 0.0))
+  }
+
+  test("vad finds the voiced span; trimSilence removes the padding") {
+    val tone = Array.tabulate[Short](2048)(i =>
+      (8000 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toShort)
+    val sig = new Array[Short](1024) ++ tone ++ new Array[Short](1024)
+    val (ratio, from, until) = Fft.vad(sig)
+    assert(ratio == 0.5, s"ratio $ratio")
+    assert(from == 1024 && until == 3072, s"($from,$until)")
+    val trimmed = Fft.trimSilence(sig)
+    assert(trimmed.length == 2048)
+    assert(trimmed.sameElements(tone))
+  }
+
+  test("vad degenerate cases") {
+    assert(Fft.vad(new Array[Short](4096)) == (0.0, 0, 0))
+    assert(Fft.trimSilence(new Array[Short](4096)).isEmpty)
+    assert(Fft.vad(null) == (0.0, 0, 0))
+    // sub-frame-length input falls back to whole-signal RMS
+    val loud = Array.fill[Short](100)(8000)
+    assert(Fft.vad(loud) == (1.0, 0, 100))
+  }
+}
+
+class GopherSpec extends AnyFunSuite {
+
+  test("clean prose with required stopwords passes the gate") {
+    val text = Array.fill(8)("the cat and dog have fun with all").mkString(" ")
+    val g = TextStats.gopher(text)
+    assert(g.nWords == 64)
+    assert(math.abs(g.meanWordLen - 3.25) < 1e-12)
+    assert(g.symbolWordRatio == 0.0)
+    assert(g.alphaWordFrac == 1.0)
+    assert(g.stopwordHits == 4) // the, and, have, with
+    assert(g.dupLineFrac == 0.0)
+    assert(g.keep)
+  }
+
+  test("symbol-heavy text fails the symbol-to-word gate") {
+    val g = TextStats.gopher("a ... b … c # d", minWords = 1, minStopHits = 0)
+    assert(g.nWords == 7)
+    assert(math.abs(g.symbolWordRatio - 3.0 / 7) < 1e-12)
+    assert(!g.keep)
+  }
+
+  test("duplicate lines fail the repetition gates") {
+    val text = Array.fill(10)("the words and that have with lines go on here").mkString("\n")
+    val g = TextStats.gopher(text, minWords = 10)
+    assert(g.dupLineFrac == 0.9)
+    assert(g.dupLineCharFrac == 0.9)
+    assert(!g.keep)
+  }
+
+  test("numeric words fail the alphabetic-word gate") {
+    val words = Array.fill(40)("123 456 the and") :+ "end"
+    val g = TextStats.gopher(words.mkString(" "), minWords = 10)
+    assert(g.alphaWordFrac < 0.8)
+    assert(!g.keep)
+  }
+
+  test("word-count and stopword floors are parameterized") {
+    val short = "the quick brown fox jumps over the lazy dog again and again"
+    assert(!TextStats.gopher(short).keep) // 12 words < paper's 50
+    assert(TextStats.gopher(short, minWords = 10).keep) // "the","and" = 2 hits
+    assert(!TextStats.gopher(short, minWords = 10, minStopHits = 3).keep)
+  }
+
+  test("degenerate inputs") {
+    assert(!TextStats.gopher(null).keep)
+    assert(!TextStats.gopher("   ").keep)
+    assert(TextStats.gopher("").nWords == 0)
+  }
+}
