@@ -286,6 +286,34 @@ object SparkEntry {
       // operator now REJECTS parameters beyond its guarantee)
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
         n = 4, maxHamming = 3, chunks = 4)),
+    "dedup_audio_neardup" -> ((s, _) => {
+      // audio near-dup: normalized band-energy vectors, peak-band
+      // buckets (±1 multi-probe), exact cosine verify. Corpus plants
+      // one volume-scaled, re-noised copy per 10th clip; the operator
+      // must pair (k*10, n+k) without an all-pairs waveform compare.
+      // Rows-only here; recall proven in DedupSpec.
+      import s.implicits._
+      val n = 2000L
+      val base = s.range(0, n, 1, 8).map { i =>
+        val pcm = graft.codec.Audio.synth(i, 8000, 4096)
+        (i.toLong, "pcm_s16le", graft.codec.Audio.pcm16Encode(pcm))
+      }
+      val dups = s.range(0, n / 10, 1, 8).map { k =>
+        val pcm = graft.codec.Audio.synth(k * 10, 8000, 4096)
+        val mod = new Array[Short](pcm.length)
+        var st = k * 977L; var i = 0
+        while (i < pcm.length) { // 0.85x volume + fresh small noise
+          st = st * 6364136223846793005L + 1442695040888963407L
+          val jit = ((st >>> 33) % 120L) - 60L
+          mod(i) = math.max(Short.MinValue,
+            math.min(Short.MaxValue, (pcm(i) * 0.85 + jit).toInt)).toShort
+          i += 1
+        }
+        (n + k, "pcm_s16le", graft.codec.Audio.pcm16Encode(mod))
+      }
+      Dedup.audioNearDup(base.union(dups).toDF("id", "codec", "bytes"),
+        "id", "bytes", "codec")
+    }),
 
     // ---------------- similarity search (embeddings)
     "sim_topk_bruteforce" -> ((s, d) =>

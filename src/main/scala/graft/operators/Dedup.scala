@@ -419,14 +419,30 @@ object Dedup {
     require(maxHamming <= chunks - 1,
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
-    val bits = 64 / chunks
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val spark = df.sparkSession
     import spark.implicits._
     val hashes = df.select(col(idCol).cast("long").as("id"),
       col(textCol).as("text")).as[(Long, String)]
       .map { case (id, t) => (id, simHash64(t, n)) }
       .toDF("id", "sh")
+    hammingPairs(hashes, maxHamming, chunks)
+  }
+
+  /** Hamming-ball candidate search over any 64-bit hash column —
+    * the bucketing engine shared by [[simHash]] (text) and
+    * [[audioFingerprint]] (spectral fingerprints). `hashes` must have
+    * columns (id: long, sh: long); same pigeonhole recall guarantee and
+    * chunk tradeoff as [[simHash]]. */
+  def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(maxHamming <= chunks - 1,
+      s"recall guarantee needs maxHamming <= chunks-1 " +
+        s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val spark = hashes.sparkSession
+    import spark.implicits._
     val chunked = hashes.select($"id", $"sh",
       posexplode(array((0 until chunks).map(c =>
         shiftright($"sh", c * bits).bitwiseAND(lit(mask))): _*))
@@ -441,5 +457,55 @@ object Dedup {
       .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
       .filter($"hamming" <= maxHamming)
       .select($"a", $"b", $"hamming").distinct()
+  }
+
+  /** Audio near-dup pairs — the waveform analog of
+    * [[embeddingCosineLsh]]: decode each clip in the narrow map stage,
+    * reduce it to a volume-invariant normalized band-energy vector
+    * ([[graft.codec.Fft.bandEnergies]]), bucket by the PEAK band with
+    * ±1 multi-probe on one join side (spectral leakage or codec noise
+    * can shift a borderline peak by one band — recall is guaranteed for
+    * any pair whose peaks differ by ≤1), then verify candidates with
+    * exact cosine of the band vectors, keeping pairs ≥ `threshold`. No
+    * false positives beyond the cosine definition — only recall loss
+    * for pairs whose peaks moved ≥2 bands, which at SNR ≥ 30 dB does
+    * not happen (FftSpec measures the μ-law/noise envelope).
+    * Undecodable or all-silent clips are isolated out of candidate
+    * generation. At scale: one narrow O(n·frames·log frameLen) pass,
+    * then a shuffle keyed by peak band carrying (id, band, nBands
+    * doubles) ≈ 0.5 KB/row — never an all-pairs waveform compare.
+    * Single-tone-heavy corpora make SOME bands hot; that skew is the
+    * data's (clips sharing a peak band genuinely are near-dup
+    * candidates), and the in-bucket verify is a cheap codegen'd dot
+    * product, salting-compatible if a band ever dominates. */
+  def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
+      codecCol: String, threshold: Double = 0.95,
+      nBands: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.VectorOps.register(spark)
+    import spark.implicits._
+    val feats = df.select(col(idCol).cast("long").as("id"),
+      col(codecCol).as("codec"), col(bytesCol).as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .map { case (id, codec, bytes) =>
+        val pcm = graft.codec.Audio.decode(codec, bytes)
+        val bands = if (pcm == null) null
+          else graft.codec.Fft.bandEnergies(pcm, nBands = nBands)
+        if (bands == null) (id, -1, null: Array[Double])
+        else (id, graft.codec.Fft.peakBand(bands), bands)
+      }
+      .toDF("id", "pk", "bands")
+      .filter($"pk" >= 0)
+    val a = feats.select($"id".as("a"), $"bands".as("ba"),
+      explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
+    val b = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
+    a.join(b, Seq("pb"))
+      .filter($"a" < $"b")
+      // band vectors are L2-normalized, so cosine = dot
+      .withColumn("sim",
+        round(graft.functions.VectorOps.dot($"ba", $"bb"), 4))
+      .filter($"sim" >= threshold)
+      .select($"a", $"b", $"sim")
+      .distinct()
   }
 }

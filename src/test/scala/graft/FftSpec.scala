@@ -85,6 +85,44 @@ class FftSpec extends AnyFunSuite {
     assert(trimmed.sameElements(tone))
   }
 
+  test("bandEnergies: volume-exact, noise/codec-robust, tone-discriminative") {
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum // both L2-normalized
+    val seeds = Seq(3L, 14L, 159L, 2653L, 58979L)
+    for (seed <- seeds) {
+      val pcm = Audio.synth(seed, 8000, 8192)
+      val bands = Fft.bandEnergies(pcm)
+      assert(bands != null && bands.length == 64)
+      assert(math.abs(cos(bands, bands) - 1.0) < 1e-12) // unit norm
+      // volume scaling: cosine identical to ~quantization error
+      val quiet = pcm.map(v => (v * 0.5).toShort)
+      assert(cos(bands, Fft.bandEnergies(quiet)) > 0.9999, s"volume $seed")
+      // μ-law codec roundtrip (≥30 dB SNR distortion)
+      val ul = Audio.decode("ulaw", Audio.encode("ulaw", pcm))
+      assert(cos(bands, Fft.bandEnergies(ul)) > 0.99, s"ulaw $seed")
+      // additive noise at ~0.6% full scale
+      var st = seed
+      val noisy = pcm.map { v =>
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (v + ((st >>> 33) % 400L) - 200L).toShort
+      }
+      assert(cos(bands, Fft.bandEnergies(noisy)) > 0.98, s"noise $seed")
+      // peak band survives all three transformations
+      assert(Fft.peakBand(Fft.bandEnergies(ul)) == Fft.peakBand(bands))
+      assert(Fft.peakBand(Fft.bandEnergies(quiet)) == Fft.peakBand(bands))
+    }
+    // distinct tones: cosine far below the 0.95 near-dup threshold
+    val vecs = seeds.map(s => Fft.bandEnergies(Audio.synth(s, 8000, 8192)))
+    for (i <- vecs.indices; j <- vecs.indices if i < j) {
+      val c = cos(vecs(i), vecs(j))
+      assert(c < 0.8, s"seeds ${seeds(i)} vs ${seeds(j)}: cos $c")
+    }
+    // degenerate inputs
+    assert(Fft.bandEnergies(new Array[Short](100)) == null) // too short
+    assert(Fft.bandEnergies(new Array[Short](4096)) == null) // silence
+    assert(Fft.bandEnergies(null) == null)
+  }
+
   test("vad degenerate cases") {
     assert(Fft.vad(new Array[Short](4096)) == (0.0, 0, 0))
     assert(Fft.trimSilence(new Array[Short](4096)).isEmpty)

@@ -149,6 +149,35 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simHash(docs, "doc_id", "text", maxHamming = 10, chunks = 4)
     }
   }
+
+  test("audio near-dup: planted volume+noise+codec copies recovered") {
+    import graft.codec.Audio
+    val n = 40L
+    val base = (0L until n).map { i =>
+      (i, "pcm_s16le", Audio.pcm16Encode(Audio.synth(i, 8000, 4096)))
+    }
+    // planted copies stress all three robustness axes at once: volume
+    // 0.85x, fresh jitter, and a μ-law re-encode
+    val dups = (0L until n / 10).map { k =>
+      val pcm = Audio.synth(k * 10, 8000, 4096)
+      var st = k * 977L
+      val mod = pcm.map { v =>
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (v * 0.85 + ((st >>> 33) % 120L) - 60L).toShort
+      }
+      (n + k, "ulaw", Audio.encode("ulaw", mod))
+    }
+    // one undecodable row must be isolated, not fail the job
+    val junk = Seq((999L, "opus", Array[Byte](1, 2, 3)))
+    val df = (base ++ dups ++ junk).toDF("id", "codec", "bytes")
+    val pairs = Dedup.audioNearDup(df, "id", "bytes", "codec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until n / 10).map(k => (k * 10, n + k)).toSet
+    val found = planted.intersect(pairs)
+    info(s"planted=${planted.size} found=${found.size} extra=${pairs.size - found.size}")
+    assert(found.size == planted.size, s"missed ${planted -- pairs}")
+    assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
