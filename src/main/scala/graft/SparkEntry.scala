@@ -424,6 +424,44 @@ object SparkEntry {
           meanLen.between(3.0, 10.0) && symRatio <= 0.1 &&
           alphaFrac >= 0.8 && stopHits >= 1).as("keep"))
     }),
+    "text_tfidf_topk" -> ((s, d) => {
+      // corpus-level TF-IDF, top-3 terms per doc (smooth sklearn-style
+      // idf = ln((N+1)/(df+1)) + 1). Term DF is a distributed agg, doc
+      // count a broadcast 1-row frame — nothing driver-side; at 100 TB
+      // the tf⋈df join shuffles on term (bounded by vocab), not rows.
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tok.distinct().groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+      val nDocs = tok.agg(countDistinct(col("doc_id")).as("n"))
+      val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", round(col("tf") *
+          (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score"))
+    }),
+    "sample_stratified" -> ((s, d) => {
+      // deterministic stratified downsampling — the source-rebalancing
+      // op a training-data pipeline runs before mixing: src0 keeps 2%,
+      // every other source 20%, decided by a pure arithmetic hash of
+      // doc_id so the sample is reproducible on any engine and needs
+      // no shuffle (narrow filter over the scan). The reduction goes
+      // through a PRIME modulus first: ids here are structured
+      // (doc_id ≡ source index mod 20), and (20k·C) mod 100 only hits
+      // multiples of 20 — measured 20% retention on a "2%" stratum
+      // before the prime step. C is invertible mod 1000003, so
+      // structured ids equidistribute.
+      val h = pmod(pmod((col("doc_id") % 100000L) * lit(2654435761L),
+        lit(1000003L)), lit(100))
+      val rate = when(col("source") === "src0", 2).otherwise(20)
+      t(s, d, "documents").filter(h < rate)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
     "text_gopher_top2gram" -> ((s, d) => {
       // Gopher repetition rule: fraction of characters inside the most
       // frequent word 2-gram (ties broken lexicographically). Explode →
@@ -517,6 +555,23 @@ object SparkEntry {
         }
       }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
         "bandwidth_hz", "speech_ratio", "voiced_samples")
+    }),
+    "pipeline_audio_mel" -> ((s, _) => {
+      // log-mel + MFCC in the narrow codec stage (the standard speech
+      // feature front end; O'Shaughnessy mel scale + orthonormal DCT-II)
+      import s.implicits._
+      val rt = (x: Double, n: Int) => graft.lid.TextStats.roundTo(x, n)
+      Pipeline.clips(s, 1000L, partitions = 8).map { c =>
+        val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
+        val lm = if (pcm == null) null
+          else graft.codec.Fft.logMel(pcm, c.sr_hz)
+        if (lm == null) (c.clip_id, false, 0, 0.0, 0.0, 0.0)
+        else {
+          val mf = graft.codec.Fft.mfcc(lm)
+          (c.clip_id, true, lm.indices.maxBy(lm(_)),
+            rt(mf(0), 3), rt(mf(1), 3), rt(mf(2), 3))
+        }
+      }.toDF("clip_id", "decoded", "peak_mel", "c0", "c1", "c2")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -636,6 +691,17 @@ object SparkEntry {
             len(list_intersect(list_transform(ws, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) AS stop_hits
           FROM w)
           SELECT *, (n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND stop_hits >= 1) AS keep FROM g""",
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+          sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+          SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "sample_stratified" ->
+      """SELECT doc_id, source, lang FROM documents
+          WHERE (((doc_id % 100000) * 2654435761) % 1000003) % 100 < (CASE WHEN source = 'src0' THEN 2 ELSE 20 END)""",
     "text_gopher_top2gram" ->
       """WITH w AS (SELECT doc_id, length(text) AS n, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
           b AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w),

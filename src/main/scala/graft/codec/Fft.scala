@@ -195,6 +195,83 @@ object Fft {
     best
   }
 
+  // ------------------------------------------------------------ mel/MFCC
+  /** Mel scale (O'Shaughnessy 1987, the standard public formula). */
+  def melScale(hz: Double): Double = 2595.0 * math.log10(1.0 + hz / 700.0)
+  def invMelScale(mel: Double): Double =
+    700.0 * (math.pow(10.0, mel / 2595.0) - 1.0)
+
+  /** Time-averaged log-mel filterbank energies: average the power
+    * spectrum over Hann frames, apply `nMels` triangular filters with
+    * mel-spaced centers over 0..sr/2, take log (floored at 1e-12).
+    * Returns null for clips shorter than one frame. */
+  def logMel(samples: Array[Short], sampleRate: Int, frameLen: Int = 1024,
+             nMels: Int = 26): Array[Double] = {
+    if (samples == null || samples.length < frameLen) return null
+    val nBins = frameLen / 2 + 1
+    val pow = new Array[Double](nBins)
+    val frame = new Array[Double](frameLen)
+    var start = 0; var nFrames = 0
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
+      val mag = magnitudeSpectrum(frame)
+      i = 0
+      while (i < nBins) { pow(i) += mag(i) * mag(i); i += 1 }
+      start += frameLen / 2
+      nFrames += 1
+    }
+    var i = 0
+    while (i < nBins) { pow(i) /= nFrames; i += 1 }
+    // triangular filters: nMels+2 mel-spaced edge frequencies
+    val maxMel = melScale(sampleRate / 2.0)
+    val edges = Array.tabulate(nMels + 2)(m =>
+      invMelScale(m * maxMel / (nMels + 1)))
+    val binHz = sampleRate.toDouble / frameLen
+    val out = new Array[Double](nMels)
+    var m = 0
+    while (m < nMels) {
+      val lo = edges(m); val c = edges(m + 1); val hi = edges(m + 2)
+      var e = 0.0
+      i = math.max(1, math.ceil(lo / binHz).toInt)
+      val end = math.min(nBins - 1, math.floor(hi / binHz).toInt)
+      while (i <= end) {
+        val f = i * binHz
+        val w =
+          if (f <= c) (f - lo) / (c - lo)
+          else (hi - f) / (hi - c)
+        if (w > 0) e += w * pow(i)
+        i += 1
+      }
+      out(m) = math.log(math.max(e, 1e-12))
+      m += 1
+    }
+    out
+  }
+
+  /** MFCC: orthonormal DCT-II of the log-mel energies, first `nCoef`
+    * coefficients. c0 carries overall log energy (shifts with volume);
+    * c1.. are volume-invariant spectral-shape descriptors. */
+  def mfcc(logMelE: Array[Double], nCoef: Int = 13): Array[Double] = {
+    if (logMelE == null) return null
+    val n = logMelE.length
+    val out = new Array[Double](math.min(nCoef, n))
+    var k = 0
+    while (k < out.length) {
+      var s = 0.0
+      var m = 0
+      while (m < n) {
+        s += logMelE(m) * math.cos(math.Pi * k * (m + 0.5) / n)
+        m += 1
+      }
+      val scale =
+        if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      out(k) = scale * s
+      k += 1
+    }
+    out
+  }
+
   /** Energy-threshold voice-activity detection. Frames of `frameLen`
     * samples (non-overlapping); a frame is active iff its RMS (relative
     * to full scale) exceeds `threshold`. Returns

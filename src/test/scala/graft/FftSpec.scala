@@ -123,6 +123,41 @@ class FftSpec extends AnyFunSuite {
     assert(Fft.bandEnergies(null) == null)
   }
 
+  test("log-mel filterbank: tone frequency ordering and volume behavior") {
+    val sr = 16000
+    def tone(hz: Double) = Array.tabulate[Short](8192)(i =>
+      (10000 * math.sin(2 * math.Pi * hz * i / sr)).toShort)
+    val low = Fft.logMel(tone(300), sr)
+    val high = Fft.logMel(tone(3000), sr)
+    assert(low.length == 26 && high.length == 26)
+    def argmax(a: Array[Double]) = a.indices.maxBy(a(_))
+    assert(argmax(low) < argmax(high),
+      s"low peak ${argmax(low)} !< high peak ${argmax(high)}")
+    // mel scale is monotone and hits the standard anchor (1000 Hz ≈ 1000 mel)
+    assert(math.abs(Fft.melScale(1000) - 999.99) < 0.1)
+    assert(Fft.invMelScale(Fft.melScale(1234.5)) - 1234.5 < 1e-9)
+    // degenerate
+    assert(Fft.logMel(null, sr) == null)
+    assert(Fft.logMel(new Array[Short](10), sr) == null)
+  }
+
+  test("mfcc: c1.. are volume-invariant, c0 shifts; DCT basics") {
+    val sr = 16000
+    val pcm = Audio.synth(23L, sr, 8192)
+    val full = Fft.mfcc(Fft.logMel(pcm, sr))
+    val half = Fft.mfcc(Fft.logMel(pcm.map(v => (v / 2).toShort), sr))
+    assert(full.length == 13)
+    // halving amplitude shifts every log-mel band by -2 ln 2 → only c0 moves
+    assert(full(0) > half(0))
+    for (k <- 1 until 13)
+      assert(math.abs(full(k) - half(k)) < 0.05, s"c$k ${full(k)} vs ${half(k)}")
+    // DCT-II of a constant vector concentrates in c0
+    val const = Fft.mfcc(Array.fill(26)(3.7))
+    assert(math.abs(const(0) - math.sqrt(26.0) * 3.7) < 1e-9)
+    for (k <- 1 until 13) assert(math.abs(const(k)) < 1e-9)
+    assert(Fft.mfcc(null) == null)
+  }
+
   test("vad degenerate cases") {
     assert(Fft.vad(new Array[Short](4096)) == (0.0, 0, 0))
     assert(Fft.trimSilence(new Array[Short](4096)).isEmpty)
