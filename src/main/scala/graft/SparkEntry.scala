@@ -445,6 +445,52 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     }),
+    "quality_ppl_buckets" -> ((s, d) => {
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+      // each doc with the char-LM, then ntile(3) per language →
+      // head/middle/tail quality tiers, the split CCNet uses to select
+      // training data. The LM rides the same broadcast as the pipeline
+      // detectors; buckets are a windowed rank per language partition
+      // (one shuffle keyed by lang — bounded cardinality). Rows-only
+      // (the LM is not SQL-expressible); tier ordering proven below by
+      // construction of ntile.
+      import s.implicits._
+      val lm = graft.lid.LidModels.default.charLm
+      val bcLm = s.sparkContext.broadcast(lm)
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (id, lang, text) =>
+          (id, lang, graft.lid.TextStats.roundTo(
+            bcLm.value.perplexity(text), 4))
+        }.toDF("doc_id", "lang", "ppl")
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(col("ppl").asc, col("doc_id").asc)
+      scored.withColumn("tier",
+        when(ntile(3).over(win) === 1, "head")
+          .when(ntile(3).over(win) === 2, "middle").otherwise("tail"))
+    }),
+    "text_bpe_tokens" -> ((s, d) => {
+      // BPE subword tokenization (Sennrich 2016): merges trained on a
+      // bounded deterministic sample DRIVER-side (the merge table is a
+      // model artifact, like the LID weights), broadcast, then token
+      // counts computed in the narrow map stage. compression = chars
+      // per token — a standard quality/fertility signal. Rows-only
+      // (BPE is not SQL-expressible); algorithm correctness in BpeSpec.
+      import s.implicits._
+      val sample = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(100)
+        .collect().map(_.getString(1))
+      val rank = graft.lid.Bpe.ranks(graft.lid.Bpe.train(sample, 200))
+      val bc = s.sparkContext.broadcast(rank)
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val n = graft.lid.Bpe.tokenCount(text, bc.value)
+          (id, n, graft.lid.TextStats.roundTo(
+            if (n == 0) 0.0 else text.length.toDouble / n, 3))
+        }.toDF("doc_id", "n_bpe", "chars_per_token")
+    }),
     "sample_stratified" -> ((s, d) => {
       // deterministic stratified downsampling — the source-rebalancing
       // op a training-data pipeline runs before mixing: src0 keeps 2%,

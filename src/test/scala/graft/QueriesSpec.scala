@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for rows-only queries (those the DuckDB oracle
+  * cannot express) over the driver's sf0.001 fixture tables. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("quality_ppl_buckets: balanced tiers, head strictly cleaner than tail") {
+    val r = SparkEntry.queries("quality_ppl_buckets")(spark, sf)
+      .select("lang", "ppl", "tier").collect()
+    val byLang = r.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val tiers = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+      assert(tiers.keySet == Set("head", "middle", "tail"), s"$lang: $tiers")
+      // ntile balance: sizes differ by at most 1
+      assert(tiers.values.max - tiers.values.min <= 1, s"$lang: $tiers")
+      val headMax = rows.filter(_.getString(2) == "head").map(_.getDouble(1)).max
+      val tailMin = rows.filter(_.getString(2) == "tail").map(_.getDouble(1)).min
+      assert(headMax <= tailMin, s"$lang: head max $headMax > tail min $tailMin")
+    }
+  }
+
+  test("text_bpe_tokens: compression over characters, deterministic") {
+    val df = SparkEntry.queries("text_bpe_tokens")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(_.getInt(1) > 0))
+    // subword tokens must beat character count (chars/token > 1 means
+    // merges actually fired on the corpus the table was trained on)
+    val meanCpt = rows.map(_.getDouble(2)).sum / rows.length
+    assert(meanCpt > 1.5, s"mean chars/token $meanCpt")
+    // and fewer tokens than characters, more than whitespace words
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val text = docs(r.getLong(0))
+      val words = graft.lid.TextStats.whitespaceTokens(text).length
+      assert(r.getInt(1) <= text.length && r.getInt(1) >= words,
+        s"doc ${r.getLong(0)}: ${r.getInt(1)} vs words $words chars ${text.length}")
+    }
+    // determinism: rebuild → identical counts
+    val again = SparkEntry.queries("text_bpe_tokens")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getInt(1)))
+  }
+
+  test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
+    val r = SparkEntry.queries("sample_stratified")(spark, sf)
+    val bySource = r.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val hotRate = bySource.getOrElse("src0", 0L).toDouble / total("src0")
+    val restKept = (bySource - "src0").values.sum.toDouble
+    val restAll = (total - "src0").values.sum.toDouble
+    assert(hotRate < 0.10, s"src0 rate $hotRate")
+    assert(math.abs(restKept / restAll - 0.20) < 0.06,
+      s"rest rate ${restKept / restAll}")
+  }
+}
