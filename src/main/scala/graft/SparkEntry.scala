@@ -470,6 +470,23 @@ object SparkEntry {
         when(ntile(3).over(win) === 1, "head")
           .when(ntile(3).over(win) === 2, "middle").otherwise("tail"))
     }),
+    "sample_mixture_balance" -> ((s, d) => {
+      // language-mixture rebalancing: downsample every language to the
+      // minority language's count (equal-share mixing, the step before
+      // training-data interleave). Rates derive from a distributed
+      // groupBy (tiny result, broadcast back); membership is the same
+      // prime-modulus arithmetic hash as sample_stratified, in basis
+      // points — deterministic on any engine, no global window (a
+      // window over the whole table would serialize on one partition).
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val minc = counts.agg(min(col("cnt")).as("min_cnt"))
+      val h = pmod(pmod((col("doc_id") % 100000L) * lit(2654435761L),
+        lit(1000003L)), lit(10000))
+      docs.join(broadcast(counts), "lang").crossJoin(broadcast(minc))
+        .filter(h < floor(col("min_cnt") * lit(10000) / col("cnt")))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "text_bpe_tokens" -> ((s, d) => {
       // BPE subword tokenization (Sennrich 2016): merges trained on a
       // bounded deterministic sample DRIVER-side (the merge table is a
@@ -601,6 +618,31 @@ object SparkEntry {
         }
       }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
         "bandwidth_hz", "speech_ratio", "voiced_samples")
+    }),
+    "pipeline_audio_chunks" -> ((s, _) => {
+      // time-domain segmentation: explode each clip into 1 s windows
+      // with 0.5 s hop (the training-data prep for fixed-length audio
+      // models) — a narrow flatMap, chunk rows carry offsets so the
+      // original is reconstructible; per-chunk RMS + active flag feed
+      // chunk-level filtering
+      import s.implicits._
+      Pipeline.clips(s, 500L, partitions = 8).flatMap { c =>
+        val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
+        if (pcm == null) Iterator.empty
+        else {
+          val win = c.sr_hz; val hop = c.sr_hz / 2
+          val starts = 0 until math.max(1, pcm.length - win + 1) by hop
+          starts.iterator.map { st =>
+            val seg = java.util.Arrays.copyOfRange(pcm, st,
+              math.min(pcm.length, st + win))
+            val r = graft.codec.Audio.rms(seg)
+            (c.clip_id, st / hop, st * 1000L / c.sr_hz,
+              seg.length, graft.lid.TextStats.roundTo(r, 1),
+              r / 32768.0 > 0.01)
+          }
+        }
+      }.toDF("clip_id", "chunk_idx", "start_ms", "n_samples", "rms",
+        "active")
     }),
     "pipeline_audio_mel" -> ((s, _) => {
       // log-mel + MFCC in the narrow codec stage (the standard speech
@@ -745,6 +787,11 @@ object SparkEntry {
           sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
           SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "sample_mixture_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+          m AS (SELECT min(cnt) AS min_cnt FROM c)
+          SELECT doc_id, lang, source FROM documents JOIN c USING (lang) CROSS JOIN m
+          WHERE (((doc_id % 100000) * 2654435761) % 1000003) % 10000 < (min_cnt * 10000) // cnt""",
     "sample_stratified" ->
       """SELECT doc_id, source, lang FROM documents
           WHERE (((doc_id % 100000) * 2654435761) % 1000003) % 100 < (CASE WHEN source = 'src0' THEN 2 ELSE 20 END)""",

@@ -140,4 +140,54 @@ class PropertySpec extends AnyFunSuite {
       assert(m >= 0.0 && m <= 255.0)
     }
   }
+
+  test("BPE: any word reconstructs exactly under any trained table") {
+    val corpusGen = Gen.listOfN(30,
+      Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString))
+    val wordGen = Gen.listOf(
+      Gen.oneOf(Gen.alphaLowerChar, Gen.numChar, Gen.const('ü')))
+      .map(_.mkString)
+    forAll(Gen.zip(corpusGen, wordGen), 150) { case (corpus, word) =>
+      val rank = graft.lid.Bpe.ranks(graft.lid.Bpe.train(corpus, 40))
+      val toks = graft.lid.Bpe.encodeWord(word, rank)
+      if (word.isEmpty) assert(toks.isEmpty)
+      else {
+        assert(toks.mkString.stripSuffix(graft.lid.Bpe.Eow) == word)
+        assert(toks.length <= word.length + 1) // never worse than chars
+      }
+    }
+  }
+
+  test("FFT: Parseval holds for random signals at power-of-2 sizes") {
+    val g = for {
+      logN <- Gen.choose(2, 10)
+      vals <- Gen.listOfN(1 << logN, Gen.choose(-1000.0, 1000.0))
+    } yield vals.toArray
+    forAll(g, 80) { x =>
+      val n = x.length
+      val re = x.clone(); val im = new Array[Double](n)
+      graft.codec.Fft.fft(re, im)
+      val timeE = x.map(v => v * v).sum
+      val specE = (0 until n).map(k => re(k) * re(k) + im(k) * im(k)).sum / n
+      assert(math.abs(timeE - specE) <= 1e-9 * math.max(1.0, timeE))
+    }
+  }
+
+  test("band energies: unit norm and volume invariance for random PCM") {
+    val g = for {
+      seed <- Gen.choose(0L, Long.MaxValue)
+      len <- Gen.choose(1024, 4096)
+    } yield (seed, len)
+    forAll(g, 40) { case (seed, len) =>
+      val pcm = graft.codec.Audio.synth(seed, 8000, len)
+      val b = graft.codec.Fft.bandEnergies(pcm)
+      if (b != null) {
+        val norm = math.sqrt(b.map(v => v * v).sum)
+        assert(math.abs(norm - 1.0) < 1e-9)
+        assert(b.forall(_ >= 0.0))
+        val pk = graft.codec.Fft.peakBand(b)
+        assert(pk >= 0 && pk < b.length)
+      }
+    }
+  }
 }

@@ -49,6 +49,41 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(r => again(r.getLong(0)) == r.getInt(1)))
   }
 
+  test("sample_mixture_balance: every language lands near the minority count") {
+    val kept = SparkEntry.queries("sample_mixture_balance")(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = totals.values.min
+    // the minority language is kept in full
+    val minLang = totals.minBy(_._2)._1
+    assert(kept(minLang) == minCnt)
+    // every other language is downsampled to ~minCnt (hash noise at
+    // n≈70 is a few rows) and never exceeds its own total
+    kept.foreach { case (lang, n) =>
+      assert(math.abs(n - minCnt).toDouble / minCnt < 0.35, s"$lang: $n vs $minCnt")
+      assert(n <= totals(lang))
+    }
+  }
+
+  test("pipeline_audio_chunks: window arithmetic and per-chunk stats") {
+    val r = SparkEntry.queries("pipeline_audio_chunks")(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val byClip = rows.groupBy(_.getString(0))
+    byClip.values.foreach { cs =>
+      val idx = cs.map(_.getInt(1)).sorted
+      assert(idx.head == 0 && idx.last == idx.length - 1) // contiguous
+      // start_ms = chunk_idx * 500 (hop is half of a 1 s window)
+      cs.foreach(c => assert(c.getLong(2) == c.getInt(1) * 500L))
+      // all chunks except possibly the last are full-length
+      val full = cs.filter(c => c.getInt(1) < idx.last)
+      full.foreach(c => assert(c.getInt(3) >= cs.map(_.getInt(3)).max / 2))
+    }
+  }
+
   test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
     val r = SparkEntry.queries("sample_stratified")(spark, sf)
     val bySource = r.groupBy("source").agg(count(lit(1)).as("n"))
