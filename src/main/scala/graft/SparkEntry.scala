@@ -17,6 +17,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Audio dedup fixture: n originals (distinct synth seeds) plus one
+    * planted copy per 10th clip — volume-scaled 0.85x with fresh small
+    * jitter — ids n+k for original k*10. */
+  private def audioDedupCorpus(s: SparkSession, n: Long): DataFrame = {
+    import s.implicits._
+    val base = s.range(0, n, 1, 8).map { i =>
+      val pcm = graft.codec.Audio.synth(i, 8000, 4096)
+      (i.toLong, "pcm_s16le", graft.codec.Audio.pcm16Encode(pcm))
+    }
+    val dups = s.range(0, n / 10, 1, 8).map { k =>
+      val pcm = graft.codec.Audio.synth(k * 10, 8000, 4096)
+      val mod = new Array[Short](pcm.length)
+      var st = k * 977L; var i = 0
+      while (i < pcm.length) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        val jit = ((st >>> 33) % 120L) - 60L
+        mod(i) = math.max(Short.MinValue,
+          math.min(Short.MaxValue, (pcm(i) * 0.85 + jit).toInt)).toShort
+        i += 1
+      }
+      (n + k, "pcm_s16le", graft.codec.Audio.pcm16Encode(mod))
+    }
+    base.union(dups).toDF("id", "codec", "bytes")
+  }
+
   // Shared pipeline run per (sfDir) — the pipeline_* queries expose the
   // clip-pipeline stages; one run feeds all of them.
   private val pipeCache =
@@ -292,27 +317,17 @@ object SparkEntry {
       // one volume-scaled, re-noised copy per 10th clip; the operator
       // must pair (k*10, n+k) without an all-pairs waveform compare.
       // Rows-only here; recall proven in DedupSpec.
-      import s.implicits._
-      val n = 2000L
-      val base = s.range(0, n, 1, 8).map { i =>
-        val pcm = graft.codec.Audio.synth(i, 8000, 4096)
-        (i.toLong, "pcm_s16le", graft.codec.Audio.pcm16Encode(pcm))
-      }
-      val dups = s.range(0, n / 10, 1, 8).map { k =>
-        val pcm = graft.codec.Audio.synth(k * 10, 8000, 4096)
-        val mod = new Array[Short](pcm.length)
-        var st = k * 977L; var i = 0
-        while (i < pcm.length) { // 0.85x volume + fresh small noise
-          st = st * 6364136223846793005L + 1442695040888963407L
-          val jit = ((st >>> 33) % 120L) - 60L
-          mod(i) = math.max(Short.MinValue,
-            math.min(Short.MaxValue, (pcm(i) * 0.85 + jit).toInt)).toShort
-          i += 1
-        }
-        (n + k, "pcm_s16le", graft.codec.Audio.pcm16Encode(mod))
-      }
-      Dedup.audioNearDup(base.union(dups).toDF("id", "codec", "bytes"),
-        "id", "bytes", "codec")
+      Dedup.audioNearDup(audioDedupCorpus(s, 2000L), "id", "bytes", "codec")
+    }),
+    "dedup_audio_keep" -> ((s, _) => {
+      // full audio dedup composed end-to-end: near-dup pairs →
+      // connected components → one keeper per duplicate cluster
+      // (min id), singletons kept — the same keep-policy tier the text
+      // dedups feed. Rows-only; component/keeper semantics oracle-
+      // checked via dedup_components and DedupSpec.
+      val corpus = audioDedupCorpus(s, 500L)
+      val pairs = Dedup.audioNearDup(corpus, "id", "bytes", "codec")
+      Dedup.keepPolicy(corpus, "id", pairs)
     }),
 
     // ---------------- similarity search (embeddings)

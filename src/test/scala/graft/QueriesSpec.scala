@@ -84,6 +84,19 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_audio_keep: one keeper per planted pair, singletons kept") {
+    val rows = SparkEntry.queries("dedup_audio_keep")(spark, sf).collect()
+    assert(rows.length == 550) // 500 originals + 50 planted copies
+    val dropped = rows.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // every planted copy (id >= 500) must lose to its master (id k*10
+    // < 500, hence smaller), directly or through a larger component
+    val copies = (500L until 550L).toSet
+    assert(copies.forall(dropped.contains), s"kept copies: ${copies -- dropped}")
+    // keepers are component minima: a dropped id's label is smaller
+    rows.filter(!_.getBoolean(2)).foreach(r =>
+      assert(r.getLong(1) < r.getLong(0)))
+  }
+
   test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
     val r = SparkEntry.queries("sample_stratified")(spark, sf)
     val bySource = r.groupBy("source").agg(count(lit(1)).as("n"))
