@@ -460,6 +460,47 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     }),
+    "text_normalize_nfc" -> ((s, d) => {
+      // Unicode NFC normalization — the first cleaning step of any text
+      // pipeline (decomposed é = e+U+0301 → composed é, etc.). Narrow
+      // typed map over java.text.Normalizer; oracle via DuckDB's
+      // nfc_normalize on the same rows.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val norm = if (text == null) null
+          else java.text.Normalizer.normalize(text,
+            java.text.Normalizer.Form.NFC)
+          (id, norm, norm != null && !(norm == text))
+        }.toDF("doc_id", "text_nfc", "changed")
+    }),
+    "a16_pivot" -> ((s, d) => {
+      // source × language crosstab via the pivot operator (explicit
+      // value list → no extra distinct pass; Catalyst rewrites to one
+      // hash aggregate with CASE projections — same single-shuffle plan
+      // as the CASE-based oracle SQL)
+      t(s, d, "documents").groupBy(col("source"))
+        .pivot("lang", Seq("en", "fr", "de", "es", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+    "u2_approx_distinct" -> ((s, d) =>
+      // HyperLogLog++ distinct-count sketch per source — at 10^12 rows
+      // exact countDistinct means a full shuffle of the values; the
+      // sketch merges fixed-size registers instead. Approximate →
+      // rows-only; QueriesSpec bounds the error vs exact at 5%.
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(approx_count_distinct(col("text"), 0.02).as("approx_texts"),
+          count(lit(1)).as("rows"))),
+    "u3_approx_quantiles" -> ((s, d) =>
+      // t-digest-style quantile sketch (percentile_approx) for the
+      // length distribution per source — same scale rationale as HLL.
+      // Approximate → rows-only; QueriesSpec bounds drift vs exact.
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(percentile_approx(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(2000))
+          .as("len_quantiles"))),
     "quality_ppl_buckets" -> ((s, d) => {
       // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
       // each doc with the char-LM, then ntile(3) per language →
@@ -802,6 +843,16 @@ object SparkEntry {
           sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
           SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "text_normalize_nfc" ->
+      """SELECT doc_id, nfc_normalize(text) AS text_nfc, (nfc_normalize(text) <> text) AS changed FROM documents""",
+    "a16_pivot" ->
+      """SELECT source,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+          CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+          CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+          CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+          CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+          FROM documents GROUP BY source""",
     "sample_mixture_balance" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
           m AS (SELECT min(cnt) AS min_cnt FROM c)

@@ -97,6 +97,41 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(1) < r.getLong(0)))
   }
 
+  test("approximate sketches track exact within documented bounds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // HLL++ @ rsd 0.02 vs exact distinct per source
+    val approx = SparkEntry.queries("u2_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("source")
+      .agg(countDistinct(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rsd 0.02 is a relative std dev, not a hard bound — at n≈25 a ±2
+    // absolute wobble is within expectation, so bound by max(3, 5%)
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      assert(math.abs(a - e) <= math.max(3.0, 0.05 * e), s"$src: $a vs $e")
+    }
+    // percentile sketch: median within the true [p25, p90] envelope and
+    // ordered quantiles
+    val q = SparkEntry.queries("u3_approx_quantiles")(spark, sf).collect()
+    q.foreach { r =>
+      val qs = r.getSeq[Long](1)
+      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2), qs.toString)
+    }
+  }
+
+  test("mixture/pivot/nfc plans: broadcasts where intended, no global window") {
+    val mix = SparkEntry.queries("sample_mixture_balance")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(mix.contains("BroadcastHashJoin") ||
+      mix.contains("BroadcastNestedLoopJoin"), mix)
+    assert(!mix.contains("Window"), "global window would serialize: " + mix)
+    // pivot rewrites to ONE hash aggregate (no per-value scans)
+    val piv = SparkEntry.queries("a16_pivot")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(piv.contains("HashAggregate"), piv)
+  }
+
   test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
     val r = SparkEntry.queries("sample_stratified")(spark, sf)
     val bySource = r.groupBy("source").agg(count(lit(1)).as("n"))
