@@ -350,6 +350,14 @@ object Dedup {
       .agg(min($"nbr").as("mn"))
       .select($"id", least($"id", $"mn").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // convergence detector: labels only ever DECREASE under min-
+    // propagation, so the exact (decimal — a 10^12-id corpus overflows
+    // long) label sum strictly decreases iff anything changed. One
+    // aggregate over the just-checkpointed frame per round — no
+    // old-vs-new join, which cost a second shuffle per round.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -359,11 +367,11 @@ object Dedup {
         .union(labels)
         .groupBy($"id").agg(min($"label").as("label"))
         .localCheckpoint(eager = true) // truncate lineage per round
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()
