@@ -441,16 +441,20 @@ object SparkEntry {
     }),
     "text_tfidf_topk" -> ((s, d) => {
       // corpus-level TF-IDF, top-3 terms per doc (smooth sklearn-style
-      // idf = ln((N+1)/(df+1)) + 1). Term DF is a distributed agg, doc
+      // idf = ln((N+1)/(df+1)) + 1). ONE explode only: DF derives from
+      // the TF frame (whose rows are already distinct (doc, term)
+      // pairs) and the doc count never needs tokens — the first cut ran
+      // the explode three times. Term DF is a distributed agg, doc
       // count a broadcast 1-row frame — nothing driver-side; at 100 TB
-      // the tf⋈df join shuffles on term (bounded by vocab), not rows.
-      val tok = t(s, d, "documents").select(col("doc_id"),
+      // the tf⋈df join shuffles on term (bounded by vocab), not rows,
+      // and tf would be persisted/checkpointed between its two uses.
+      val tf = t(s, d, "documents").select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfq = tok.distinct().groupBy(col("term"))
-        .agg(count(lit(1)).as("df"))
-      val nDocs = tok.agg(countDistinct(col("doc_id")).as("n"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = t(s, d, "documents")
+        .agg(countDistinct(col("doc_id")).as("n"))
       val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
         .withColumn("score", round(col("tf") *
           (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
@@ -522,9 +526,10 @@ object SparkEntry {
         }.toDF("doc_id", "lang", "ppl")
       val win = Window.partitionBy(col("lang"))
         .orderBy(col("ppl").asc, col("doc_id").asc)
-      scored.withColumn("tier",
-        when(ntile(3).over(win) === 1, "head")
-          .when(ntile(3).over(win) === 2, "middle").otherwise("tail"))
+      scored.withColumn("nt", ntile(3).over(win))
+        .withColumn("tier", when(col("nt") === 1, "head")
+          .when(col("nt") === 2, "middle").otherwise("tail"))
+        .drop("nt")
     }),
     "sample_mixture_balance" -> ((s, d) => {
       // language-mixture rebalancing: downsample every language to the
