@@ -505,6 +505,51 @@ object SparkEntry {
         .agg(percentile_approx(col("n_chars"),
           array(lit(0.25), lit(0.5), lit(0.9)), lit(2000))
           .as("len_quantiles"))),
+    "text_lang_segments" -> ((s, d) => {
+      // window-level language ID → code-switching detection: the doc-
+      // level reference pipeline assigns ONE language per item; mixed-
+      // language items are exactly what that misses. 120-char windows
+      // (short tail merged), top-1 prediction per window via the same
+      // broadcast detector the pipeline ships, per-doc distinct-lang
+      // roll-up — all row-local, zero shuffles. A window only counts
+      // when TWO independent detectors agree confidently (top-1 match,
+      // both probs ≥ 0.5) — the ensemble-agreement principle the
+      // pipeline itself votes with. A single confident detector is not
+      // enough: out-of-domain word salad drew confident-but-conflicting
+      // top-1s and flagged 53% of this monolingual corpus "mixed"
+      // ungated, 29% with a one-detector prob gate, 1% gated on
+      // agreement (measured at sf0.001).
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(graft.lid.LidModels.default)
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val wins = graft.lid.TextStats.charWindows(text)
+          val langs = wins.map { w =>
+            val p1 = bc.value.impressoFt.predict(w)
+            val p2 = bc.value.langidNb.predict(w)
+            if (p1 == null || p1.isEmpty || p2 == null || p2.isEmpty ||
+              p1.head._1 != p2.head._1 ||
+              p1.head._2 < 0.5 || p2.head._2 < 0.5) "und"
+            else p1.head._1
+          }
+          val confident = langs.filter(_ != "und").distinct.sorted
+          (id, wins.length, confident.length, confident.mkString(","),
+            confident.length > 1)
+        }.toDF("doc_id", "n_segments", "n_langs", "langs", "mixed")
+    }),
+    "text_compression_ratio" -> ((s, d) => {
+      // Deflate ratio — the cheap entropy proxy for boilerplate/
+      // repetition (compresses far below natural prose). Narrow map;
+      // rows-only (no deflate in SQL), ordering proven in unit tests.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.lid.TextStats.roundTo(
+            graft.lid.TextStats.compressionRatio(text), 4))
+        }.toDF("doc_id", "deflate_ratio")
+    }),
     "quality_ppl_buckets" -> ((s, d) => {
       // CCNet-style perplexity bucketing (Wenzek et al. 2020): score
       // each doc with the char-LM, then ntile(3) per language →
@@ -657,9 +702,13 @@ object SparkEntry {
             graft.lid.TextStats.roundTo(graft.codec.Audio.rms(pcm), 1),
           if (pcm == null) 0 else graft.codec.Audio.peak(pcm),
           if (pcm == null) 0 else
-            graft.codec.Audio.frameSample(pcm, 4).length)
+            graft.codec.Audio.frameSample(pcm, 4).length,
+          if (pcm == null) 0.0 else
+            graft.lid.TextStats.roundTo(graft.codec.Audio.clipRatio(pcm), 4),
+          if (pcm == null) 0.0 else
+            graft.lid.TextStats.roundTo(graft.codec.Audio.dcOffset(pcm), 4))
       }.toDF("clip_id", "codec", "decoded", "zcr", "rms", "peak",
-        "n_frames_4x")
+        "n_frames_4x", "clip_ratio", "dc_offset")
     }),
     "pipeline_audio_spectral" -> ((s, _) => {
       // FFT spectral features + energy VAD in the same narrow codec

@@ -134,6 +134,31 @@ object Audio {
     if (err == 0.0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
   }
 
+  /** Fraction of samples at (or within `margin` of) digital full scale —
+    * the standard clipping-damage signal; recordings above ~1% clipped
+    * samples are audibly distorted and a quality filter drops or
+    * re-gains them. */
+  def clipRatio(samples: Array[Short], margin: Int = 1): Double = {
+    if (samples == null || samples.length == 0) return 0.0
+    val lo = Short.MinValue + margin
+    val hi = Short.MaxValue - margin
+    var n = 0; var i = 0
+    while (i < samples.length) {
+      if (samples(i) <= lo || samples(i) >= hi) n += 1
+      i += 1
+    }
+    n.toDouble / samples.length
+  }
+
+  /** Mean sample value relative to full scale — a nonzero DC offset
+    * signals a miswired capture chain and wastes headroom. */
+  def dcOffset(samples: Array[Short]): Double = {
+    if (samples == null || samples.length == 0) return 0.0
+    var s = 0L; var i = 0
+    while (i < samples.length) { s += samples(i); i += 1 }
+    s.toDouble / samples.length / 32768.0
+  }
+
   def rms(samples: Array[Short]): Double = {
     if (samples == null || samples.isEmpty) return 0.0
     var s = 0.0

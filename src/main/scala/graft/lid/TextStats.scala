@@ -183,6 +183,46 @@ object TextStats {
     Gopher(nWords, meanLen, symRatio, alphaFrac, stopHits, dlf, dlcf, keep)
   }
 
+  /** Fixed-width character windows over the whitespace-normalized text —
+    * the segmentation unit for window-level language ID (code-switching
+    * detection). A trailing fragment shorter than window/3 merges into
+    * the previous window so no segment is too short to classify. */
+  def charWindows(text: String, window: Int = 120): Array[String] = {
+    if (text == null) return Array.empty
+    val norm = WsRun.matcher(text.trim).replaceAll(" ")
+    if (norm.isEmpty) return Array.empty
+    if (norm.length <= window) return Array(norm)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < norm.length) {
+      val end = math.min(norm.length, i + window)
+      out += norm.substring(i, end)
+      i = end
+    }
+    if (out.length > 1 && out.last.length < window / 3) {
+      val tail = out.remove(out.length - 1)
+      out(out.length - 1) = out.last + tail
+    }
+    out.toArray
+  }
+
+  /** Deflate compression ratio (compressed/raw bytes) — the standard
+    * cheap entropy proxy for repetition/boilerplate detection: highly
+    * templated or repeated text compresses far below natural prose.
+    * 0.0 for null/empty. */
+  def compressionRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** 64-bit polynomial rolling-hash document fingerprint over the
     * whitespace-normalized lowercase text (graft text-analysis surface). */
   def fingerprint(text: String): Long = {

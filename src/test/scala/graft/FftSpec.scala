@@ -168,6 +168,81 @@ class FftSpec extends AnyFunSuite {
   }
 }
 
+class SignalQualitySpec extends AnyFunSuite {
+
+  test("clipRatio flags hard-limited audio; clean audio scores 0") {
+    val clean = Array.tabulate[Short](4000)(i =>
+      (20000 * math.sin(2 * math.Pi * 300 * i / 8000.0)).toShort)
+    assert(Audio.clipRatio(clean) == 0.0)
+    // drive the same tone 2x past full scale and hard-limit it
+    val clipped = Array.tabulate[Short](4000)(i => {
+      val v = 65000 * math.sin(2 * math.Pi * 300 * i / 8000.0)
+      math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt)).toShort
+    })
+    val r = Audio.clipRatio(clipped)
+    // plateau share of a 2x-overdriven sine: 1 - 2·asin(32767/65000)/π ≈ 0.664
+    assert(r > 0.6 && r < 0.72, s"clip ratio $r")
+    assert(Audio.clipRatio(null) == 0.0)
+  }
+
+  test("dcOffset measures a planted bias, 0 for symmetric signals") {
+    val sym = Array.tabulate[Short](4096)(i =>
+      (8000 * math.sin(2 * math.Pi * i / 64.0)).toShort)
+    assert(math.abs(Audio.dcOffset(sym)) < 0.002)
+    val biased = sym.map(v => (v + 3277).toShort) // +10% of full scale
+    assert(math.abs(Audio.dcOffset(biased) - 0.1) < 0.003)
+  }
+
+  test("compressionRatio: repetition compresses far below prose; bounds hold") {
+    val repetitive = "buy now click here " * 50
+    val prose = "The committee discussed seventeen distinct proposals about " +
+      "harbor dredging, vaccine logistics, quarterly audits, and playground " +
+      "renovations before adjourning without a final vote on anything."
+    val rr = TextStats.compressionRatio(repetitive)
+    val rp = TextStats.compressionRatio(prose)
+    assert(rr < 0.1, s"repetitive $rr")
+    assert(rp > 0.5, s"prose $rp")
+    assert(TextStats.compressionRatio(null) == 0.0)
+    assert(TextStats.compressionRatio("") == 0.0)
+  }
+
+  test("charWindows: full coverage, no tiny tail, single window for short text") {
+    val text = "x" * 500
+    val wins = TextStats.charWindows(text, 120)
+    assert(wins.map(_.length).sum == 500)
+    assert(wins.init.forall(_.length == 120) || wins.length == 1)
+    assert(wins.last.length >= 40) // tail ≥ window/3 after merge
+    assert(TextStats.charWindows("short", 120).toSeq == Seq("short"))
+    assert(TextStats.charWindows(null, 120).isEmpty)
+    assert(TextStats.charWindows("   ", 120).isEmpty)
+  }
+
+  test("window LID detects a planted bilingual document") {
+    val models = graft.lid.LidModels.default
+    val de = "die regierung hat gestern über das neue gesetz beraten und " +
+      "die minister haben den haushalt für das kommende jahr besprochen "
+    val fr = "le gouvernement a discuté hier du nouveau projet de loi et " +
+      "les ministres ont examiné le budget pour la prochaine année "
+    val bilingual = de * 2 + fr * 2
+    val langs = graft.lid.TextStats.charWindows(bilingual, 120)
+      .map(w => models.impressoFt.predict(w).head._1).distinct.sorted
+    assert(langs.contains("de") && langs.contains("fr"), langs.mkString(","))
+    // monolingual control stays single-language
+    val mono = graft.lid.TextStats.charWindows(de * 4, 120)
+      .map(w => models.impressoFt.predict(w).head._1).distinct
+    assert(mono.sameElements(Array("de")), mono.mkString(","))
+    // and detection survives the query's two-detector agreement gate
+    // (top-1 match, both probs >= 0.5) that suppresses OOD word salad
+    val agreed = graft.lid.TextStats.charWindows(bilingual, 120).flatMap { w =>
+      val p1 = models.impressoFt.predict(w)
+      val p2 = models.langidNb.predict(w)
+      if (p1.nonEmpty && p2.nonEmpty && p1.head._1 == p2.head._1 &&
+        p1.head._2 >= 0.5 && p2.head._2 >= 0.5) Some(p1.head._1) else None
+    }.distinct.sorted
+    assert(agreed.contains("de") && agreed.contains("fr"), agreed.mkString(","))
+  }
+}
+
 class GopherSpec extends AnyFunSuite {
 
   test("clean prose with required stopwords passes the gate") {
