@@ -126,6 +126,27 @@ object StreamingFilter {
       }
   }
 
+  /** Watermark-BOUNDED streaming dedup — the state-eviction twin of
+    * [[streamingDedup]], built on the engine-native
+    * `dropDuplicatesWithinWatermark`. At 10^12 clips an ever-growing
+    * digest store is a non-starter; with an ingest-time watermark the
+    * state keeps only digests younger than `horizon`, trading global
+    * dedup for bounded-lag dedup (the production contract: re-ingests
+    * arrive within hours, not years — beyond-horizon repeats surface
+    * again and the batch dedup tier catches them). Null transcripts key
+    * by their own id (never collapsed into each other), mirroring
+    * [[streamingDedup]]. Pure Column expressions — no state function
+    * of our own, the engine owns eviction. */
+  def streamingDedupBounded(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String, horizon: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.withColumn("digest",
+      coalesce(md5(norm), concat(lit("id:"), col(idCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .drop("digest")
+  }
+
   /** Normalized-transcript digest (the [[graft.operators.Dedup.exact]]
     * key). */
   def digest(transcript: String): String = {

@@ -267,6 +267,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq("1", "3", "4", "5", "7"), streamed.toString)
   }
 
+  test("watermark-bounded dedup: in-horizon dups dropped, state evicts beyond") {
+    val tmp = java.nio.file.Files.createTempDirectory("wdedup").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    val schema = "id STRING, text STRING, ts TIMESTAMP"
+    def drain(): Unit = {
+      val q = StreamingFilter.streamingDedupBounded(
+        spark.readStream.schema(schema).parquet(in),
+        "id", "text", "ts", "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def rows(v: (String, String, String)*) =
+      v.toSeq.toDF("id", "text", "s")
+        .select($"id", $"text", to_timestamp($"s").as("ts"))
+    // batch 1: A at 10:00 (kept)
+    rows(("a1", "same text", "2026-01-01 10:00:00")).write
+      .mode("append").parquet(in); drain()
+    // batch 2: A again at 10:05 — inside the 10 min horizon → dropped
+    rows(("a2", "same text", "2026-01-01 10:05:00"),
+      ("b1", "other text", "2026-01-01 10:05:00")).write
+      .mode("append").parquet(in); drain()
+    // batch 3: filler at 11:00 advances the watermark far past A's state
+    rows(("c1", "third text", "2026-01-01 11:00:00")).write
+      .mode("append").parquet(in); drain()
+    // batch 4: A re-ingested at 11:30 — state evicted → kept AGAIN
+    rows(("a3", "same text", "2026-01-01 11:30:00")).write
+      .mode("append").parquet(in); drain()
+    val kept = spark.read.parquet(out).select("id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("a1", "a3", "b1", "c1"), kept.toString)
+  }
+
   test("flatMapGroupsWithState sessions span micro-batch boundaries") {
     import graft.streaming.{SessionEvent, SessionOut, StreamingFilter}
     val min = 60L * 1000000L // a minute in micros
