@@ -676,14 +676,17 @@ object SparkEntry {
           col("rows_out"))
     }),
     "pipeline_audio_resample" -> ((s, _) => {
-      // audio analog of mm_resize: decode -> linear-interpolation SRC to
-      // a target rate inside the same narrow mapPartitions stage
+      // audio analog of mm_resize: decode -> RMS loudness normalization
+      // (heterogeneous sources to one level) -> linear-interpolation
+      // SRC to a target rate, all inside the same narrow mapPartitions
+      // stage; rms_16k lands at the 6000 target for every voiced clip
       import s.implicits._
       Pipeline.clips(s, 1000L, partitions = 8).map { c =>
         val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
         if (pcm == null) (c.clip_id, c.sr_hz, 0, 0, 0.0)
         else {
-          val re = graft.codec.Audio.resampleLinear(pcm, c.sr_hz, 16000)
+          val normed = graft.codec.Audio.normalizeRms(pcm, 6000.0)
+          val re = graft.codec.Audio.resampleLinear(normed, c.sr_hz, 16000)
           (c.clip_id, c.sr_hz, pcm.length, re.length,
             graft.lid.TextStats.roundTo(graft.codec.Audio.rms(re), 1))
         }
@@ -719,15 +722,16 @@ object SparkEntry {
       Pipeline.clips(s, 1000L, partitions = 8).map { c =>
         val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
         if (pcm == null)
-          (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0)
+          (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0)
         else {
           val (cen, roll, flat, bw) = graft.codec.Fft.spectralFeatures(pcm, c.sr_hz)
           val (ratio, from, until) = graft.codec.Fft.vad(pcm)
           (c.clip_id, true, rt(cen, 1), rt(roll, 1), rt(flat, 4), rt(bw, 1),
-            rt(ratio, 4), until - from)
+            rt(ratio, 4), until - from,
+            rt(graft.codec.Fft.dominantFrequency(pcm, c.sr_hz), 1))
         }
       }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
-        "bandwidth_hz", "speech_ratio", "voiced_samples")
+        "bandwidth_hz", "speech_ratio", "voiced_samples", "dominant_hz")
     }),
     "pipeline_audio_chunks" -> ((s, _) => {
       // time-domain segmentation: explode each clip into 1 s windows

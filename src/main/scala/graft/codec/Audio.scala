@@ -134,6 +134,27 @@ object Audio {
     if (err == 0.0) Double.PositiveInfinity else 10.0 * math.log10(sig / err)
   }
 
+  /** Gain the signal to a target RMS (loudness normalization — the
+    * conditioning step before mixing training audio from heterogeneous
+    * sources). Hard-clamps at full scale rather than wrapping; silence
+    * is returned unchanged (no gain can fix it — the VAD/quality gates
+    * own that case). */
+  def normalizeRms(samples: Array[Short], targetRms: Double): Array[Short] = {
+    if (samples == null || samples.length == 0) return samples
+    val r = rms(samples)
+    if (r <= 0.0) return samples
+    val gain = targetRms / r
+    val out = new Array[Short](samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val v = math.rint(samples(i) * gain)
+      out(i) = math.max(Short.MinValue,
+        math.min(Short.MaxValue, v)).toShort
+      i += 1
+    }
+    out
+  }
+
   /** Fraction of samples at (or within `margin` of) digital full scale —
     * the standard clipping-damage signal; recordings above ~1% clipped
     * samples are audibly distorted and a quality filter drops or

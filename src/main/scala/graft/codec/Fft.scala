@@ -195,6 +195,37 @@ object Fft {
     best
   }
 
+  /** Dominant frequency via FFT peak with quadratic (parabolic)
+    * interpolation over the time-averaged magnitude spectrum — the
+    * standard sub-bin refinement: the true peak of a leaky bin triple
+    * (m[k-1], m[k], m[k+1]) sits at k + (m[k-1]-m[k+1]) /
+    * (2(m[k-1]-2m[k]+m[k+1])). Recovers pure-tone frequency to ~1 Hz
+    * at 8 kHz / 1024-point frames. 0.0 for silent/too-short input. */
+  def dominantFrequency(samples: Array[Short], sampleRate: Int,
+                        frameLen: Int = 1024): Double = {
+    if (samples == null || samples.length < frameLen) return 0.0
+    val nBins = frameLen / 2 + 1
+    val acc = new Array[Double](nBins)
+    val frame = new Array[Double](frameLen)
+    var start = 0
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
+      val mag = magnitudeSpectrum(frame)
+      var b = 0
+      while (b < nBins) { acc(b) += mag(b); b += 1 }
+      start += frameLen / 2
+    }
+    var pk = 1
+    var b = 2
+    while (b < nBins - 1) { if (acc(b) > acc(pk)) pk = b; b += 1 }
+    if (acc(pk) <= 1e-12) return 0.0
+    val a = acc(pk - 1); val c = acc(pk + 1); val m = acc(pk)
+    val denom = a - 2 * m + c
+    val delta = if (math.abs(denom) < 1e-30) 0.0 else 0.5 * (a - c) / denom
+    (pk + delta) * sampleRate.toDouble / frameLen
+  }
+
   // ------------------------------------------------------------ mel/MFCC
   /** Mel scale (O'Shaughnessy 1987, the standard public formula). */
   def melScale(hz: Double): Double = 2595.0 * math.log10(1.0 + hz / 700.0)

@@ -123,6 +123,20 @@ class FftSpec extends AnyFunSuite {
     assert(Fft.bandEnergies(null) == null)
   }
 
+  test("dominantFrequency recovers planted tones to ~1 Hz via parabolic refinement") {
+    val sr = 8000
+    for (hz <- Seq(440.0, 1234.5, 2718.0, 199.0)) {
+      val tone = Array.tabulate[Short](8192)(i =>
+        (11000 * math.sin(2 * math.Pi * hz * i / sr)).toShort)
+      val est = Fft.dominantFrequency(tone, sr)
+      assert(math.abs(est - hz) < 1.5, s"$hz Hz -> $est")
+    }
+    // bin width is 7.8125 Hz at 8 kHz / 1024 — sub-bin accuracy proves
+    // the interpolation is live, not just argmax
+    assert(Fft.dominantFrequency(new Array[Short](8192), sr) == 0.0)
+    assert(Fft.dominantFrequency(null, sr) == 0.0)
+  }
+
   test("log-mel filterbank: tone frequency ordering and volume behavior") {
     val sr = 16000
     def tone(hz: Double) = Array.tabulate[Short](8192)(i =>
@@ -191,6 +205,22 @@ class SignalQualitySpec extends AnyFunSuite {
     assert(math.abs(Audio.dcOffset(sym)) < 0.002)
     val biased = sym.map(v => (v + 3277).toShort) // +10% of full scale
     assert(math.abs(Audio.dcOffset(biased) - 0.1) < 0.003)
+  }
+
+  test("normalizeRms hits the target loudness and clamps instead of wrapping") {
+    val quiet = Array.tabulate[Short](4096)(i =>
+      (800 * math.sin(2 * math.Pi * i / 64.0)).toShort)
+    val normed = Audio.normalizeRms(quiet, 8000.0)
+    assert(math.abs(Audio.rms(normed) - 8000.0) / 8000.0 < 0.01)
+    // absurd target: samples clamp at full scale, never wrap sign
+    val slammed = Audio.normalizeRms(quiet, 1e9)
+    assert(slammed.forall(v => v == Short.MinValue || v == Short.MaxValue ||
+      math.abs(v.toInt) < 32768))
+    assert(Audio.clipRatio(slammed) > 0.9)
+    // silence passes through untouched
+    val silent = new Array[Short](256)
+    assert(Audio.normalizeRms(silent, 8000.0).sameElements(silent))
+    assert(Audio.normalizeRms(null, 8000.0) == null)
   }
 
   test("compressionRatio: repetition compresses far below prose; bounds hold") {
