@@ -173,6 +173,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("codec/analysis paths never throw on arbitrary bytes (fuzz)") {
+    val bytesGen = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    forAll(bytesGen, 200) { bs =>
+      // decode: null or a valid PCM array, never an exception
+      for (codec <- Seq("pcm_s16le", "ulaw", "alaw", "junk")) {
+        val pcm = graft.codec.Audio.decode(codec, bs)
+        if (pcm != null) {
+          // and every analysis stage accepts whatever decode produced
+          graft.codec.Audio.rms(pcm)
+          graft.codec.Audio.clipRatio(pcm)
+          graft.codec.Audio.dcOffset(pcm)
+          graft.codec.Fft.vad(pcm)
+          if (pcm.length >= 1024) {
+            graft.codec.Fft.bandEnergies(pcm)
+            graft.codec.Fft.dominantFrequency(pcm, 8000)
+          }
+        }
+      }
+      // image/video decode on the same junk
+      graft.codec.Image.decodeImage(bs)
+      graft.codec.Image.decodeVideo(bs)
+    }
+  }
+
   test("band energies: unit norm and volume invariance for random PCM") {
     val g = for {
       seed <- Gen.choose(0L, Long.MaxValue)
