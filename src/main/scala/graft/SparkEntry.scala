@@ -464,6 +464,31 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     }),
+    "j4_asof_join" -> ((s, d) => {
+      // AS-OF join — the classic operator Spark lacks natively,
+      // composed from existing ops per the preference order: tag both
+      // event streams, ONE window pass per user carrying the last-seen
+      // click forward (ties let the click win), filter to purchases.
+      // One shuffle keyed by user_id, no range-condition theta join
+      // (which Spark would execute as a broadcast nested loop). Oracle:
+      // DuckDB's native ASOF LEFT JOIN on the same streams.
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc,
+          (col("event_type") === "purchase").cast("int").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickTs = when(col("event_type") === "click", col("ts"))
+      ev.withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+        .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"),
+          floor((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp")))
+            / lit(1000)).as("lag_ms"))
+    }),
     "text_normalize_nfc" -> ((s, d) => {
       // Unicode NFC normalization — the first cleaning step of any text
       // pipeline (decomposed é = e+U+0301 → composed é, etc.). Narrow
@@ -901,6 +926,12 @@ object SparkEntry {
           sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
           SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "j4_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+          SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+            (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS lag_ms
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "text_normalize_nfc" ->
       """SELECT doc_id, nfc_normalize(text) AS text_nfc, (nfc_normalize(text) <> text) AS changed FROM documents""",
     "a16_pivot" ->
