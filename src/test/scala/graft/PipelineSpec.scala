@@ -35,6 +35,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.stage1.count() == N)
   }
 
+  test("plan audit: stage1/stage2/scrub are Exchange-free (ARCHITECTURE claims)") {
+    // the zero-shuffle claims the scale story rests on, pinned so a
+    // refactor can't silently introduce a wide dependency
+    val s1Plan = Stage1(spark, clipsDs).queryExecution.executedPlan.toString
+    assert(!s1Plan.contains("Exchange"), s"stage1 shuffled:\n$s1Plan")
+    val decPlan = Stage2(spark, result.stage1, result.stats)
+      .queryExecution.executedPlan.toString
+    assert(!decPlan.contains("Exchange"), s"stage2 shuffled:\n$decPlan")
+    val scrubPlan = result.scrubbed.queryExecution.executedPlan.toString
+    assert(!scrubPlan.contains("Exchange"), s"scrub shuffled:\n$scrubPlan")
+    // lineage metrics likewise (mapPartitions fold, counters only)
+    val mPlan = Pipeline.metrics(spark, result.decisions)
+      .queryExecution.executedPlan.toString
+    assert(!mPlan.contains("Exchange"), s"metrics shuffled:\n$mPlan")
+  }
+
   test("stage1b: stats per source with sane fields") {
     val stats = result.stats
     assert(stats.nonEmpty && stats.size <= ClipGen.sources.size)
