@@ -639,6 +639,13 @@ object SparkEntry {
             if (n == 0) 0.0 else text.length.toDouble / n, 3))
         }.toDF("doc_id", "n_bpe", "chars_per_token")
     }),
+    "pack_sequences" -> ((s, d) =>
+      // greedy per-partition sequence packing to a 512-token budget
+      // (pretraining batch prep). Rows-only; invariants (full
+      // coverage, budget respected, determinism) in PackSpec.
+      graft.operators.Pack.packDocuments(
+        t(s, d, "documents"), "doc_id", "text", maxTokens = 512)
+        .withColumn("doc_ids", concat_ws(",", col("doc_ids")))),
     "sample_stratified" -> ((s, d) => {
       // deterministic stratified downsampling — the source-rebalancing
       // op a training-data pipeline runs before mixing: src0 keeps 2%,

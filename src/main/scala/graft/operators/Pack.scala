@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the batch-prep step that concatenates short
+  * documents into fixed-token-budget training sequences (standard in
+  * LM pretraining/SFT pipelines: padding waste is proportional to
+  * 1 - mean(fill), so packs should run as close to the budget as
+  * greedy order allows).
+  *
+  * Distribution model: packing is inherently sequential, so it runs
+  * GREEDILY WITHIN each partition (`mapPartitions`), docs in ascending
+  * id order; partitions pack independently and in parallel — the
+  * universal recipe, since cross-partition packing would serialize the
+  * corpus through one task for at most one partial pack's worth of
+  * extra fill per partition. Pack ids are the first doc id of the pack
+  * (globally unique, deterministic — no monotonically_increasing_id,
+  * whose values depend on the partition layout).
+  */
+object Pack {
+
+  final case class PackRow(
+      pack_id: Long,
+      doc_ids: Seq[Long],
+      n_docs: Int,
+      total_tokens: Long,
+      oversize: Boolean) // single doc longer than the budget
+
+  /** Pack (id, tokenCount) rows into sequences of ≤ maxTokens.
+    * Oversize docs (tokenCount > maxTokens) become singleton packs
+    * flagged `oversize` — the caller decides truncate vs drop. */
+  def packSequences(docs: Dataset[(Long, Int)],
+      maxTokens: Int): Dataset[PackRow] = {
+    import docs.sparkSession.implicits._
+    docs.toDF("id", "n_tok")
+      .repartition(col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackRow]
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var tok = 0L
+        def flush(): Unit = if (ids.nonEmpty) {
+          out += PackRow(ids.head, ids.toSeq, ids.length, tok,
+            oversize = tok > maxTokens)
+          ids.clear(); tok = 0L
+        }
+        it.foreach { case (id, n) =>
+          if (ids.nonEmpty && tok + n > maxTokens) flush()
+          ids += id; tok += n
+          if (tok > maxTokens) flush() // oversize singleton
+        }
+        flush()
+        out.iterator
+      }
+  }
+
+  /** DataFrame adapter: token counts = whitespace word counts of
+    * `textCol` (swap in BPE counts via the same shape). */
+  def packDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    packSequences(
+      df.select(col(idCol).cast("long"),
+        size(split(trim(col(textCol)), "\\s+")))
+        .as[(Long, Int)],
+      maxTokens).toDF()
+  }
+}
