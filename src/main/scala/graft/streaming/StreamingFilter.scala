@@ -87,6 +87,30 @@ object StreamingFilter {
       }
   }
 
+  /** Declarative sessionization via the BUILT-IN `session_window`
+    * aggregation — the compose-existing-ops alternative to the custom
+    * [[sessionize]] state function (preference order: built-ins first;
+    * the custom path exists for semantics session_window can't express,
+    * e.g. emit-on-close with the trailing session retained in state).
+    * Semantic mapping, asserted in StreamingSpec: a session_window
+    * spans [first_event, last_event + gap), so `end - gap` equals the
+    * custom sessionizer's last-event end, and ALL sessions are emitted
+    * (batch) / finalized by watermark (streaming), not just closed
+    * ones. */
+  def sessionizeNative(events: Dataset[SessionEvent],
+      gapUs: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - gapUs).as("end_us"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup across micro-batches: the first clip with a
     * given normalized-transcript digest passes, every later arrival —
     * including in a LATER micro-batch or after a restart — is dropped,

@@ -267,6 +267,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq("1", "3", "4", "5", "7"), streamed.toString)
   }
 
+  test("built-in session_window matches the custom sessionizer's sessions") {
+    import graft.streaming.{SessionEvent, StreamingFilter}
+    val min = 60L * 1000000L
+    val gap = 30 * min
+    val events = Seq(
+      SessionEvent(1L, 0L), SessionEvent(1L, 5 * min),
+      SessionEvent(1L, 10 * min), // session A: 0..10min, 3 events
+      SessionEvent(1L, 120 * min), // session B (singleton)
+      SessionEvent(2L, 0L), SessionEvent(2L, 20 * min)) // one session
+    val native = StreamingFilter.sessionizeNative(events.toDS(), gap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // end_us is gap-adjusted back to last-event time — identical shape
+    // to the custom sessionizer's SessionOut
+    assert(native == Set(
+      (1L, 0L, 10 * min, 3L),
+      (1L, 120 * min, 120 * min, 1L),
+      (2L, 0L, 20 * min, 2L)), native.toString)
+    // the custom path emits the CLOSED subset of the same sessions
+    val closed = StreamingFilter.sessionize(events.toDS(), gap).collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events.toLong)).toSet
+    assert(closed.subsetOf(native), s"closed $closed not in $native")
+  }
+
   test("watermark-bounded dedup: in-horizon dups dropped, state evicts beyond") {
     val tmp = java.nio.file.Files.createTempDirectory("wdedup").toString
     val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
