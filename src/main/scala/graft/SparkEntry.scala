@@ -464,6 +464,20 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     }),
+    "f8_outlier_filter" -> ((s, d) => {
+      // robust per-source outlier gate: keep docs whose length sits in
+      // the [p05, p95] band of their OWN source (exact interpolated
+      // percentiles — Spark `percentile` ≡ DuckDB `quantile_cont`).
+      // Per-source bounds are a tiny aggregate broadcast back into a
+      // narrow filter, same shape as the mixture sampler.
+      val docs = t(s, d, "documents")
+      val bounds = docs.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+          expr("percentile(n_chars, 0.95)").as("hi"))
+      docs.join(broadcast(bounds), "source")
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
     "j4_asof_join" -> ((s, d) => {
       // AS-OF join — the classic operator Spark lacks natively,
       // composed from existing ops per the preference order: tag both
@@ -933,6 +947,10 @@ object SparkEntry {
           sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
           SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "f8_outlier_filter" ->
+      """WITH b AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1)
+          SELECT doc_id, source, n_chars FROM documents JOIN b USING (source)
+          WHERE n_chars >= lo AND n_chars <= hi""",
     "j4_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
           c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
