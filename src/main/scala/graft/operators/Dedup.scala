@@ -428,11 +428,11 @@ object Dedup {
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
     val spark = df.sparkSession
-    import spark.implicits._
+    graft.functions.SimHashOps.register(spark)
+    // native codegen expression, not a typed map: the encoder round-trip
+    // broke whole-stage codegen at both edges of the hash projection
     val hashes = df.select(col(idCol).cast("long").as("id"),
-      col(textCol).as("text")).as[(Long, String)]
-      .map { case (id, t) => (id, simHash64(t, n)) }
-      .toDF("id", "sh")
+      graft.functions.SimHashOps.simhash64(col(textCol), n).as("sh"))
     hammingPairs(hashes, maxHamming, chunks)
   }
 
@@ -504,6 +504,10 @@ object Dedup {
       }
       .toDF("id", "pk", "bands")
       .filter($"pk" >= 0)
+      // persisted: referenced by BOTH join sides — without it every
+      // clip decodes + FFTs twice (same reasoning as the minHashLsh
+      // signature persist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
     val b = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))

@@ -267,6 +267,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq("1", "3", "4", "5", "7"), streamed.toString)
   }
 
+  test("simhash64 expression: parity with the Scala hash, codegen, foldable") {
+    import graft.functions.SimHashOps
+    import graft.operators.Dedup
+    SimHashOps.register(spark)
+    // value parity with the row-local Scala implementation
+    val samples = Seq("die regierung hat beraten", "short", "a b c d e", "")
+    samples.foreach { s =>
+      val viaSql = spark.sql(
+        s"SELECT simhash64('${s}') AS h").head.getLong(0)
+      assert(viaSql == Dedup.simHash64(s, 4), s"'$s'")
+    }
+    // n parameter respected
+    val h3 = spark.sql("SELECT simhash64('abcdef', 3) AS h").head.getLong(0)
+    assert(h3 == Dedup.simHash64("abcdef", 3))
+    // stays inside whole-stage codegen over a real scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = docs.selectExpr("simhash64(text) AS h")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    // and the full simHash operator produces identical pairs to r1's
+    // typed-map formulation (same hash, same buckets)
+    val pairs = Dedup.simHash(docs.limit(50), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaScala = {
+      val hs = docs.limit(50).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), Dedup.simHash64(r.getString(1), 4)))
+      (for {
+        (a, ha) <- hs; (b, hb) <- hs if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= 3
+      } yield (a, b)).toSet
+    }
+    assert(pairs == viaScala)
+  }
+
   test("built-in session_window matches the custom sessionizer's sessions") {
     import graft.streaming.{SessionEvent, StreamingFilter}
     val min = 60L * 1000000L
