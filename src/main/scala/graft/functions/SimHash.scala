@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,13 +32,28 @@ case class SimHash64Expr(child: Expression, n: Int)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any =
-    SimHashUtil.hash64(input.asInstanceOf[UTF8String], n)
+  // Null-TOLERANT, non-nullable: null text hashes like an empty shingle
+  // set (0L), matching the typed-map formulation this replaced. A
+  // nullable output here is a measured 1.6x pessimization: the
+  // downstream chunk join derives its keys from this value, Catalyst
+  // pushes `isnotnull(simhash64(text))` into the SCAN filter, and the
+  // hash evaluates twice per row per join leg (seen in the r2 bench:
+  // 1.29 s → 2.13 s).
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else SimHashUtil.hash64(v.asInstanceOf[UTF8String], n)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.SimHashUtil.hash64($c, $n)")
+      ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(code = childGen.code + code"""
+      final long ${ev.value} = ${childGen.isNull} ? 0L :
+        graft.functions.SimHashUtil.hash64(${childGen.value}, $n);
+      """, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression):
       SimHash64Expr = copy(child = newChild)

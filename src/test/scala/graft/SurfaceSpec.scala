@@ -281,6 +281,10 @@ class StreamingSpec extends AnyFunSuite {
     // n parameter respected
     val h3 = spark.sql("SELECT simhash64('abcdef', 3) AS h").head.getLong(0)
     assert(h3 == Dedup.simHash64("abcdef", 3))
+    // null-tolerant and NON-nullable (nullable output made Catalyst push
+    // isnotnull(simhash64(text)) into the scan — hash evaluated twice)
+    val hn = spark.sql("SELECT simhash64(CAST(NULL AS STRING)) AS h").head
+    assert(!hn.isNullAt(0) && hn.getLong(0) == Dedup.simHash64(null, 4))
     // stays inside whole-stage codegen over a real scan
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = docs.selectExpr("simhash64(text) AS h")
