@@ -768,16 +768,18 @@ object SparkEntry {
       Pipeline.clips(s, 1000L, partitions = 8).map { c =>
         val pcm = graft.codec.Audio.decode(c.codec, c.bytes)
         if (pcm == null)
-          (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0)
+          (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0)
         else {
           val (cen, roll, flat, bw) = graft.codec.Fft.spectralFeatures(pcm, c.sr_hz)
           val (ratio, from, until) = graft.codec.Fft.vad(pcm)
           (c.clip_id, true, rt(cen, 1), rt(roll, 1), rt(flat, 4), rt(bw, 1),
             rt(ratio, 4), until - from,
-            rt(graft.codec.Fft.dominantFrequency(pcm, c.sr_hz), 1))
+            rt(graft.codec.Fft.dominantFrequency(pcm, c.sr_hz), 1),
+            rt(graft.codec.Fft.spectralFlux(pcm), 4))
         }
       }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
-        "bandwidth_hz", "speech_ratio", "voiced_samples", "dominant_hz")
+        "bandwidth_hz", "speech_ratio", "voiced_samples", "dominant_hz",
+        "spectral_flux")
     }),
     "pipeline_audio_chunks" -> ((s, _) => {
       // time-domain segmentation: explode each clip into 1 s windows

@@ -195,6 +195,45 @@ object Fft {
     best
   }
 
+  /** Mean spectral flux: the average L2 distance between consecutive
+    * frames' L1-normalized magnitude spectra — the standard onset /
+    * non-stationarity signal (≈0 for steady tones, large for content
+    * whose spectrum moves). Normalizing each frame first makes the
+    * measure volume-invariant. 0.0 for fewer than two frames. */
+  def spectralFlux(samples: Array[Short], frameLen: Int = 1024): Double = {
+    if (samples == null || samples.length < frameLen + frameLen / 2) return 0.0
+    val nBins = frameLen / 2 + 1
+    val frame = new Array[Double](frameLen)
+    val prev = new Array[Double](nBins)
+    var start = 0; var frames = 0; var flux = 0.0
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
+      val mag = magnitudeSpectrum(frame)
+      var sum = 0.0
+      i = 0
+      while (i < nBins) { sum += mag(i); i += 1 }
+      if (sum > 1e-12) {
+        i = 0
+        while (i < nBins) { mag(i) /= sum; i += 1 }
+      }
+      if (frames > 0) {
+        var d = 0.0
+        i = 0
+        while (i < nBins) {
+          val diff = mag(i) - prev(i)
+          d += diff * diff
+          i += 1
+        }
+        flux += math.sqrt(d)
+      }
+      System.arraycopy(mag, 0, prev, 0, nBins)
+      frames += 1
+      start += frameLen / 2
+    }
+    if (frames < 2) 0.0 else flux / (frames - 1)
+  }
+
   /** Dominant frequency via FFT peak with quadratic (parabolic)
     * interpolation over the time-averaged magnitude spectrum — the
     * standard sub-bin refinement: the true peak of a leaky bin triple

@@ -137,6 +137,27 @@ class FftSpec extends AnyFunSuite {
     assert(Fft.dominantFrequency(null, sr) == 0.0)
   }
 
+  test("spectral flux: ~0 for steady tones, high for moving spectra, volume-invariant") {
+    val sr = 8000
+    val steady = Array.tabulate[Short](8192)(i =>
+      (11000 * math.sin(2 * math.Pi * 500 * i / sr)).toShort)
+    // alternate 500 Hz / 2500 Hz every frame-length block
+    val moving = Array.tabulate[Short](8192) { i =>
+      val hz = if ((i / 1024) % 2 == 0) 500.0 else 2500.0
+      (11000 * math.sin(2 * math.Pi * hz * i / sr)).toShort
+    }
+    val fs = Fft.spectralFlux(steady)
+    val fm = Fft.spectralFlux(moving)
+    info(f"flux steady=$fs%.4f moving=$fm%.4f")
+    assert(fs < 0.01, s"steady $fs")
+    assert(fm > 10 * fs, s"moving $fm vs steady $fs")
+    // L1-normalized frames → volume-invariant
+    val quiet = steady.map(v => (v / 4).toShort)
+    assert(math.abs(Fft.spectralFlux(quiet) - fs) < 0.02)
+    assert(Fft.spectralFlux(null) == 0.0)
+    assert(Fft.spectralFlux(new Array[Short](100)) == 0.0)
+  }
+
   test("log-mel filterbank: tone frequency ordering and volume behavior") {
     val sr = 16000
     def tone(hz: Double) = Array.tabulate[Short](8192)(i =>
