@@ -464,6 +464,28 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("score"))
     }),
+    "quality_drift_monitor" -> ((s, d) => {
+      // per-source drift monitor: each source's keep rate (under the
+      // Gopher-style length gate) vs the corpus rate as a binomial
+      // z-score; |z| > 3 flags a drifting source — the alert a
+      // production quality filter pages on. Two tiny aggregates
+      // (per-source + global), broadcast-crossed; nothing scans twice
+      // at scale beyond the one pass producing both.
+      val kept = t(s, d, "documents").select(col("source"),
+        (col("n_chars") >= 150 && col("n_chars") <= 450).cast("long")
+          .as("keep"))
+      val per = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("keep")).as("kept"))
+      val glob = kept.agg(
+        (sum(col("keep")).cast("double") / count(lit(1))).as("g"))
+      per.crossJoin(broadcast(glob))
+        .withColumn("rate", round(col("kept").cast("double") / col("n"), 4))
+        .withColumn("z", round(
+          (col("kept").cast("double") / col("n") - col("g")) /
+            sqrt(col("g") * (lit(1.0) - col("g")) / col("n")), 3))
+        .select(col("source"), col("n"), col("kept"), col("rate"),
+          col("z"), (abs(col("z")) > 3.0).as("drifting"))
+    }),
     "f8_outlier_filter" -> ((s, d) => {
       // robust per-source outlier gate: keep docs whose length sits in
       // the [p05, p95] band of their OWN source (exact interpolated
@@ -949,6 +971,14 @@ object SparkEntry {
           sc AS (SELECT doc_id, t.term, round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score FROM tf t JOIN df USING (term) CROSS JOIN n),
           r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
           SELECT doc_id, rank, term, score FROM r WHERE rank <= 3""",
+    "quality_drift_monitor" ->
+      """WITH k AS (SELECT source, CASE WHEN n_chars BETWEEN 150 AND 450 THEN 1 ELSE 0 END AS keep FROM documents),
+          per AS (SELECT source, count(*) AS n, CAST(sum(keep) AS BIGINT) AS kept FROM k GROUP BY 1),
+          g AS (SELECT sum(keep) / CAST(count(*) AS DOUBLE) AS g FROM k)
+          SELECT source, n, kept, round(kept / CAST(n AS DOUBLE), 4) AS rate,
+            round((kept / CAST(n AS DOUBLE) - g) / sqrt(g * (1 - g) / n), 3) AS z,
+            (abs((kept / CAST(n AS DOUBLE) - g) / sqrt(g * (1 - g) / n)) > 3.0) AS drifting
+          FROM per CROSS JOIN g""",
     "f8_outlier_filter" ->
       """WITH b AS (SELECT source, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1)
           SELECT doc_id, source, n_chars FROM documents JOIN b USING (source)
