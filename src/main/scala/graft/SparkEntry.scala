@@ -42,13 +42,16 @@ object SparkEntry {
     base.union(dups).toDF("id", "codec", "bytes")
   }
 
-  // Shared pipeline run per (sfDir) — the pipeline_* queries expose the
-  // clip-pipeline stages; one run feeds all of them.
+  // Shared pipeline run — the pipeline_* queries expose the clip-
+  // pipeline stages; one run feeds all of them. Keyed by the run's
+  // ACTUAL inputs (corpus size, layout) so a second configuration can
+  // never alias the first one's cached result.
   private val pipeCache =
-    scala.collection.mutable.HashMap.empty[String, Pipeline.Result]
-  private def pipe(s: SparkSession): Pipeline.Result = synchronized {
-    pipeCache.getOrElseUpdate("default", {
-      val clips = Pipeline.clips(s, 2000L, partitions = 8)
+    scala.collection.mutable.HashMap.empty[(Long, Int), Pipeline.Result]
+  private def pipe(s: SparkSession, n: Long = 2000L,
+      partitions: Int = 8): Pipeline.Result = synchronized {
+    pipeCache.getOrElseUpdate((n, partitions), {
+      val clips = Pipeline.clips(s, n, partitions = partitions)
       Pipeline.run(s, clips)
     })
   }
@@ -441,21 +444,25 @@ object SparkEntry {
     }),
     "text_tfidf_topk" -> ((s, d) => {
       // corpus-level TF-IDF, top-3 terms per doc (smooth sklearn-style
-      // idf = ln((N+1)/(df+1)) + 1). ONE explode only: DF derives from
-      // the TF frame (whose rows are already distinct (doc, term)
-      // pairs) and the doc count never needs tokens — the first cut ran
-      // the explode three times. Term DF is a distributed agg, doc
-      // count a broadcast 1-row frame — nothing driver-side; at 100 TB
-      // the tf⋈df join shuffles on term (bounded by vocab), not rows,
-      // and tf would be persisted/checkpointed between its two uses.
+      // idf = ln((N+1)/(df+1)) + 1). The TF frame is consumed ONCE —
+      // document frequency is a window count over the term partition of
+      // the SAME frame (tf rows are distinct (doc, term) pairs, so
+      // count(*) over term ≡ distinct-doc df). The r2 shape fed tf into
+      // both a groupBy(term) agg AND the join, unpersisted, so the
+      // explode executed twice; the window keeps one execution without
+      // any cache-lifetime question. Doc count is a broadcast 1-row
+      // frame off the doc_id column only. At 100 TB: one explode pass,
+      // exchanges keyed by (doc,term) / term / doc — all bounded by
+      // corpus tokens; nothing driver-side.
       val tf = t(s, d, "documents").select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = t(s, d, "documents")
         .agg(countDistinct(col("doc_id")).as("n"))
-      val scored = tf.join(dfq, "term").crossJoin(broadcast(nDocs))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score", round(col("tf") *
           (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))
       val win = Window.partitionBy(col("doc_id"))
@@ -558,14 +565,19 @@ object SparkEntry {
       t(s, d, "documents").groupBy(col("source"))
         .agg(approx_count_distinct(col("text"), 0.02).as("approx_texts"),
           count(lit(1)).as("rows"))),
-    "u3_approx_quantiles" -> ((s, d) =>
+    "u3_approx_quantiles" -> ((s, d) => {
       // t-digest-style quantile sketch (percentile_approx) for the
       // length distribution per source — same scale rationale as HLL.
       // Approximate → rows-only; QueriesSpec bounds drift vs exact.
-      t(s, d, "documents").groupBy(col("source"))
+      // ONE sketch pass feeds all three cut points; the array is then
+      // flattened to scalar columns (q25/q50/q90) — array-valued output
+      // is unhashable for the driver's row-compare harness.
+      val qs = t(s, d, "documents").groupBy(col("source"))
         .agg(percentile_approx(col("n_chars"),
-          array(lit(0.25), lit(0.5), lit(0.9)), lit(2000))
-          .as("len_quantiles"))),
+          array(lit(0.25), lit(0.5), lit(0.9)), lit(2000)).as("qs"))
+      qs.select(col("source"), col("qs")(0).as("q25"),
+        col("qs")(1).as("q50"), col("qs")(2).as("q90"))
+    }),
     "text_lang_segments" -> ((s, d) => {
       // window-level language ID → code-switching detection: the doc-
       // level reference pipeline assigns ONE language per item; mixed-

@@ -67,9 +67,16 @@ object SimHashOps {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => {
-        val n = if (exprs.length > 1)
+        val n = if (exprs.length > 1) {
+          // n parameterizes the generated code, so it must be a literal;
+          // a non-foldable arg would otherwise die resolving with an
+          // opaque eval-on-unbound-expression error
+          if (!exprs(1).foldable)
+            throw new IllegalArgumentException(
+              "simhash64(text, n): n must be a literal (foldable) integer, " +
+                s"got ${exprs(1).sql}")
           exprs(1).eval().asInstanceOf[Number].intValue()
-        else 4
+        } else 4
         SimHash64Expr(exprs(0), n)
       }, "built-in")
 

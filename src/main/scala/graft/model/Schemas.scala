@@ -51,8 +51,21 @@ final case class Stage1Row(
       * no_text / short_text / low_alpha. */
     skip_reason: String = null)
 
+/** Aggregator version stamp — the reference's `aggregator_lid` attr
+  * (lib/newspaper_statistics.py:227-230: `{ts, version}` where version =
+  * git describe or the package version). */
+final case class StatsVersion(ts: String, version: String)
+
+object StatsVersion {
+  /** Deterministic stamp (no wall clock in the data path — same policy
+    * as Thresholds.FixedTs). */
+  val Current: StatsVersion =
+    StatsVersion("2026-01-01T00:00:00Z", "graft-stats-v1.0.0")
+}
+
 /** Per-source statistics (stage-1b output) — field set mirrors
-  * `attrs_for_json` (lib/newspaper_statistics.py:198-218) with the graft
+  * `attrs_for_json` (lib/newspaper_statistics.py:198-218) COMPLETELY
+  * (incl. the trailing `aggregator_lid` version stamp), with the graft
   * renames (newspaper→source) and the `dominant_language_ratio`
   * enrichment (quirk Q1, SURVEY.md §2.9: the reference reads this key but
   * never writes it; we emit it and keep the penalty behind it). */
@@ -72,7 +85,8 @@ final case class SourceStats(
     clip_type_distribution: Map[String, Long],
     orig_lg_ensemble_disagreements: Map[String, Long],
     orig_lg_total_decisions: Long,
-    ts: String)
+    ts: String,
+    aggregator_lid: StatsVersion = StatsVersion.Current)
 
 /** Stage-2 output (analog of `attrs_per_content_item`,
   * lib/impresso_ensemble_lid.py:118-149) fused with the graft keep/drop

@@ -106,9 +106,25 @@ object Dedup {
       (a, b)
     })
 
+  /** Exact (a·x) mod P for the 61-bit Mersenne prime: the 122-bit
+    * product is taken via Math.multiplyHigh (an intrinsic on JDK 9+)
+    * and folded with 2^64 ≡ 8 (mod P), 2^61 ≡ 1 (mod P). Requires
+    * a, x ∈ [0, P) so the signed product interpretation is valid
+    * (product < 2^122 ⇒ hi < 2^58 ⇒ every partial sum fits a long). */
+  private[graft] def mulModP(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x // wrapping low 64 bits
+    var r = hi * 8 + (lo >>> 61) + (lo & P)
+    while (r >= P) r -= P
+    r
+  }
+
   /** Row-local MinHash signature of a shingle set. Pure Scala — called
     * from a typed map, one pass over shingles for all k hashes;
-    * coefficient tables are primitive arrays hoisted per JVM. */
+    * coefficient tables are primitive arrays hoisted per JVM. Each slot
+    * is a TRUE universal-hash min under h_j(x) = (a_j·x + b_j) mod P
+    * ([[mulModP]] does the exact 122-bit Mersenne reduction — the r2
+    * hi/lo split only bounded x, not a, and silently wrapped). */
   def signature(shingles: Iterable[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val (pa, pb) = perms(k)
@@ -118,15 +134,10 @@ object Dedup {
       var i = 0
       while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
       val x = (h & Long.MaxValue) % P
-      // (a*x + b) mod p without overflow: a, x < 2^61 so a*x overflows;
-      // split x into hi/lo 31-bit halves (BigInt per shingle is too slow)
-      val xHi = x >>> 31
-      val xLo = x & 0x7fffffffL
       var j = 0
       while (j < k) {
-        val aj = pa(j)
-        val t = ((aj % P) * xHi % P << 31) % P
-        val v = (t + aj * xLo % P + pb(j)) % P
+        var v = mulModP(pa(j), x) + pb(j)
+        if (v >= P) v -= P
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -251,7 +262,7 @@ object Dedup {
         Seq("band", "bucket"))
       .filter($"a" < $"b")
       .select($"a", $"b").distinct()
-    pairs
+    val out = pairs
       .join(sigs.select($"id".as("a"), $"sig".as("siga")), "a")
       .join(sigs.select($"id".as("b"), $"sig".as("sigb")), "b")
       .withColumn("est_jaccard", round(
@@ -259,6 +270,13 @@ object Dedup {
           / lit(numHashes.toDouble), 4))
       .select($"a", $"b", $"est_jaccard")
       .filter($"est_jaccard" >= threshold)
+      // materialize the (small) survivor pairs, then RELEASE the
+      // signature cache — the operator owns the persist, so it must own
+      // the unpersist too, or a long-lived session accumulates cached
+      // signature partitions across calls with no release path
+      .localCheckpoint(eager = true)
+    sigs.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup pairs against an anchor subset (exact).
@@ -355,8 +373,12 @@ object Dedup {
     // long) label sum strictly decreases iff anything changed. One
     // aggregate over the just-checkpointed frame per round — no
     // old-vs-new join, which cost a second shuffle per round.
+    // SUM over an empty frame is NULL — coalesce to 0 so a corpus with
+    // zero duplicate pairs (a valid, common input) converges instead of
+    // NPE-ing on the first compareTo.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum($"label".cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -511,7 +533,7 @@ object Dedup {
     val a = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
     val b = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
-    a.join(b, Seq("pb"))
+    val out = a.join(b, Seq("pb"))
       .filter($"a" < $"b")
       // band vectors are L2-normalized, so cosine = dot
       .withColumn("sim",
@@ -519,5 +541,11 @@ object Dedup {
       .filter($"sim" >= threshold)
       .select($"a", $"b", $"sim")
       .distinct()
+      // materialize survivors, release the decoded-feature cache (same
+      // cache-lifetime policy as minHashLsh: persist + unpersist both
+      // live inside the operator)
+      .localCheckpoint(eager = true)
+    feats.unpersist()
+    out
   }
 }

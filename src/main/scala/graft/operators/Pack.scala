@@ -29,12 +29,17 @@ object Pack {
 
   /** Pack (id, tokenCount) rows into sequences of ≤ maxTokens.
     * Oversize docs (tokenCount > maxTokens) become singleton packs
-    * flagged `oversize` — the caller decides truncate vs drop. */
+    * flagged `oversize` — the caller decides truncate vs drop.
+    *
+    * `numPartitions` is EXPLICIT (not the session's shuffle-partition
+    * config) because pack composition depends on which ids co-reside in
+    * a partition: pinning it makes the output deterministic across
+    * engines/configs, not merely per-config. */
   def packSequences(docs: Dataset[(Long, Int)],
-      maxTokens: Int): Dataset[PackRow] = {
+      maxTokens: Int, numPartitions: Int = 32): Dataset[PackRow] = {
     import docs.sparkSession.implicits._
     docs.toDF("id", "n_tok")
-      .repartition(col("id"))
+      .repartition(numPartitions, col("id"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Int)]
       .mapPartitions { it =>
@@ -57,14 +62,16 @@ object Pack {
   }
 
   /** DataFrame adapter: token counts = whitespace word counts of
-    * `textCol` (swap in BPE counts via the same shape). */
+    * `textCol` (swap in BPE counts via the same shape). Null text counts
+    * as 0 tokens — `size(split(null))` is NULL, which the non-nullable
+    * Int encoder would reject at runtime. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
-      maxTokens: Int): DataFrame = {
+      maxTokens: Int, numPartitions: Int = 32): DataFrame = {
     import df.sparkSession.implicits._
     packSequences(
       df.select(col(idCol).cast("long"),
-        size(split(trim(col(textCol)), "\\s+")))
+        coalesce(size(split(trim(col(textCol)), "\\s+")), lit(0)))
         .as[(Long, Int)],
-      maxTokens).toDF()
+      maxTokens, numPartitions).toDF()
   }
 }

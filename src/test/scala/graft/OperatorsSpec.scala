@@ -36,6 +36,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("mulModP is the exact (a*x) mod (2^61-1) — BigInt cross-check") {
+    val rnd = new scala.util.Random(3)
+    val P = (1L << 61) - 1
+    // random draws plus the boundary corners
+    val corners = Seq(0L, 1L, 2L, P - 1, P - 2, 1L << 60)
+    val draws = (0 until 5000).map(_ => math.abs(rnd.nextLong()) % P)
+    val vals = corners ++ draws
+    vals.zip(vals.reverse).foreach { case (a, x) =>
+      val expect = ((BigInt(a) * BigInt(x)) mod BigInt(P)).toLong
+      assert(Dedup.mulModP(a, x) == expect, s"a=$a x=$x")
+    }
+  }
+
   test("minhash estimate tracks true jaccard within 0.15") {
     val sa = graft.lid.TextStats.shingles(base, 5)
     val sb = graft.lid.TextStats.shingles(base.replace("gestern", "heute"), 5)
@@ -115,6 +128,19 @@ class DedupSpec extends AnyFunSuite {
     (20L to 23L).foreach(i => assert(labels(i) == 20L, s"star node $i"))
     assert(labels(30L) == 30L && labels(31L) == 30L)
     assert(labels.size == 16)
+  }
+
+  test("components/keepPolicy on ZERO duplicate pairs: everyone keeps") {
+    // a corpus with no duplicates is a perfectly valid input — the
+    // convergence label-sum must coalesce the empty-frame NULL, not NPE
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.components(empty).collect().isEmpty)
+    val policy = Dedup.keepPolicy(docs, "doc_id", empty).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(policy.size == 6)
+    policy.foreach { case (id, (label, keep)) =>
+      assert(label == id && keep, s"id $id")
+    }
   }
 
   test("keepPolicy: one keeper per duplicate cluster, singletons kept") {

@@ -41,4 +41,27 @@ class PackSpec extends AnyFunSuite {
     val one = Pack.packSequences(Seq((7L, 100)).toDS(), 512).collect()
     assert(one.length == 1 && one.head.pack_id == 7L && !one.head.oversize)
   }
+
+  test("packDocuments tolerates null text (counts as 0 tokens)") {
+    val df = Seq((1L, "a b c"), (2L, null: String), (3L, "d e"))
+      .toDF("doc_id", "text")
+    val packs = Pack.packDocuments(df, "doc_id", "text", maxTokens = 512)
+      .collect()
+    val seen = packs.flatMap(_.getSeq[Long](1))
+    assert(seen.toSet == Set(1L, 2L, 3L)) // null-text doc still packed
+    assert(packs.map(_.getLong(3)).sum == 5L) // 3 + 0 + 2 tokens
+  }
+
+  test("pack composition is independent of spark.sql.shuffle.partitions") {
+    val docs = (0L until 120L).map(i => (i, 60 + (i % 7).toInt * 10)).toDS()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = Pack.packSequences(docs, 512).collect()
+      .map(p => p.pack_id -> p.doc_ids).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = Pack.packSequences(docs, 512).collect()
+        .map(p => p.pack_id -> p.doc_ids).toMap
+      assert(a == b) // numPartitions is pinned, not config-derived
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
 }

@@ -58,6 +58,33 @@ class JsonlIOSpec extends AnyFunSuite {
     assert(parsed.filter(col("lg").isNull).count() == noLg.length)
   }
 
+  test("stats field-list parity with attrs_for_json (NS:198-218)") {
+    // serialized top-level key ORDER mirrors the reference's pinned
+    // attrs_for_json list (lib/newspaper_statistics.py:198-218) with the
+    // graft renames (newspaper→source, contentitem→clip) plus the one
+    // documented enrichment (dominant_language_ratio, quirk Q1); the
+    // trailing aggregator_lid is the {ts, version} stamp of NS:227-230
+    val (clips, _) = model.ClipGen.corpus(100)
+    val stats = Stage1b(spark, Stage1(spark, clips.toDS())).collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("statskeys").toString
+    JsonlIO.writeStats(spark, stats, s"$dir/stats")
+    val line = spark.read.text(s"$dir/stats").head.getString(0)
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(line)
+    assert(node.fieldNames().asScala.toSeq == Seq(
+      "source", "lids", "boosted_lids", "boost_factor",
+      "admissible_languages", "dominant_language",
+      "dominant_language_ratio", "overall_orig_lg_support", "n",
+      "lid_distributions", "lid_absolute_counts", "lg_support",
+      "clip_type_distribution", "orig_lg_ensemble_disagreements",
+      "orig_lg_total_decisions", "ts", "aggregator_lid"))
+    assert(node.get("aggregator_lid").fieldNames().asScala.toSeq ==
+      Seq("ts", "version"))
+    assert(node.get("aggregator_lid").get("version").asText()
+      == "graft-stats-v1.0.0")
+  }
+
   test("stats JSON roundtrip (S5/S7)") {
     val (clips, _) = model.ClipGen.corpus(400)
     val stats = Stage1b(spark, Stage1(spark, clips.toDS())).collect().toSeq
@@ -290,6 +317,16 @@ class StreamingSpec extends AnyFunSuite {
     val plan = docs.selectExpr("simhash64(text) AS h")
       .queryExecution.executedPlan.toString
     assert(plan.contains("*("), plan)
+    // a NON-literal n is rejected with a clear message at resolution
+    // time (n parameterizes the generated code, so it must fold)
+    val err = intercept[Throwable] {
+      docs.selectExpr("simhash64(text, CAST(doc_id AS INT)) AS h").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("must be a literal")),
+      messages(err).mkString(" | "))
     // and the full simHash operator produces identical pairs to r1's
     // typed-map formulation (same hash, same buckets)
     val pairs = Dedup.simHash(docs.limit(50), "doc_id", "text")
