@@ -25,6 +25,8 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // javax.imageio (PNG/JPEG decode in codec/Image) without a display
+  "-Djava.awt.headless=true",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g matches scripts/run.sh: at ~1 GB/s allocation an 8g heap keeps
   // ParallelGC collecting instead of computing (the r1 driver bench ran

@@ -357,8 +357,9 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), nLists = 16, nProbe = 4, k = 5)),
 
-    // ---------------- multimodal binary columns (image/video; the codec
-    // is the deterministic GIMG/GVID fake — see codec/Image stub note)
+    // ---------------- multimodal binary columns (image/video; real
+    // PNG/JPEG via javax.imageio + MPNG video + GIMG/GVID raw raster —
+    // the generator emits the full format mix, see codec/Image)
     "mm_image_features" -> ((s, _) =>
       graft.operators.Multimodal.imageFeatures(
         graft.model.MediaGen.images(s, 2000L, partitions = 8)).toDF()),

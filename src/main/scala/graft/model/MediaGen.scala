@@ -16,7 +16,7 @@ final case class ImageRow(
     width: Int,
     height: Int,
     channels: Int,
-    format: String) // "gimg" | anything else = undecodable here
+    format: String) // "png" | "jpeg" | "gimg" (raw raster) | "bin" = junk
 
 final case class VideoRow(
     video_id: String,
@@ -91,24 +91,34 @@ object MediaGen {
     px
   }
 
-  /** Pure (seed, index) → ImageRow; ~3% of rows carry an undecodable
-    * payload ("jpeg" bytes this build can't decode — the stub boundary). */
+  /** Pure (seed, index) → ImageRow. Format mix: ~42% real PNG, ~17%
+    * real JPEG (both via the JDK's ImageIO writers — deterministic
+    * bytes for a fixed raster), ~38% GIMG raw raster, ~3% undecodable
+    * junk so the per-row error-isolation path stays exercised. */
   def imageAt(i: Long, seed: Long = DefaultSeed): ImageRow = {
     val rnd = splitmix(seed ^ (i * 0x9e3779b97f4a7c15L))
     val w = 16 + (math.abs(rnd) % 49).toInt
     val h = 16 + (math.abs(rnd >> 8) % 49).toInt
     val c = if ((rnd & 4) == 0) 1 else 3
-    if (math.abs(rnd >> 16) % 100 < 3) {
+    val pick = math.abs(rnd >> 16) % 100
+    if (pick < 3) {
       val junk = new Array[Byte](64)
       var j = 0
       while (j < 64) { junk(j) = (splitmix(rnd + j) & 0xff).toByte; j += 1 }
-      ImageRow(f"img-$i%08d", junk, w, h, c, "jpeg")
+      ImageRow(f"img-$i%08d", junk, w, h, c, "bin")
     } else {
       val px = renderFrames(w, h, c, 1, rnd)
-      ImageRow(f"img-$i%08d", Image.encodeImage(w, h, c, px), w, h, c, "gimg")
+      if (pick < 45)
+        ImageRow(f"img-$i%08d", Image.encodePng(w, h, c, px), w, h, c, "png")
+      else if (pick < 62)
+        ImageRow(f"img-$i%08d", Image.encodeJpeg(w, h, c, px), w, h, c, "jpeg")
+      else
+        ImageRow(f"img-$i%08d", Image.encodeImage(w, h, c, px), w, h, c, "gimg")
     }
   }
 
+  /** Pure (seed, index) → VideoRow; alternates between the GVID raw
+    * container and MPNG (MJPEG-style length-prefixed PNG frames). */
   def videoAt(i: Long, seed: Long = DefaultSeed): VideoRow = {
     val rnd = splitmix(seed ^ ((i + 7777) * 0x9e3779b97f4a7c15L))
     val w = 16 + (math.abs(rnd) % 17).toInt
@@ -116,8 +126,18 @@ object MediaGen {
     val c = 3
     val nf = 4 + (math.abs(rnd >> 16) % 13).toInt
     val px = renderFrames(w, h, c, nf, rnd)
-    VideoRow(f"vid-$i%08d", Image.encodeVideo(w, h, c, nf, px),
-      w, h, c, nf, 24, "gvid")
+    if ((rnd & 1) == 0) {
+      val frameSz = w * h * c
+      val pngs = (0 until nf).map { f =>
+        val fr = new Array[Byte](frameSz)
+        System.arraycopy(px, f * frameSz, fr, 0, frameSz)
+        Image.encodePng(w, h, c, fr)
+      }
+      VideoRow(f"vid-$i%08d", Image.encodeMpng(pngs), w, h, c, nf, 24, "mpng")
+    } else {
+      VideoRow(f"vid-$i%08d", Image.encodeVideo(w, h, c, nf, px),
+        w, h, c, nf, 24, "gvid")
+    }
   }
 
   def images(spark: SparkSession, n: Long, partitions: Int = 8,

@@ -22,9 +22,11 @@ import graft.model.{FrameRow, ImageFeatureRow, ImageRow, VideoRow}
   *     these ops in Column-land so Catalyst prunes ahead of the decode
   *     barrier (filter-before-model, SURVEY.md §4).
   *
-  * The pixel codec itself is the deterministic GIMG/GVID fake — see the
-  * stub note on [[graft.codec.Image]]; a real JPEG/H.264 decoder drops
-  * into `Image.decodeImage`/`decodeVideo` without touching this file.
+  * The pixel codecs are real: PNG/JPEG/BMP/GIF decode via the JDK's
+  * `javax.imageio` readers, video via MPNG (length-prefixed PNG frames)
+  * — plus the GIMG/GVID raw-raster container for fixtures and cheap
+  * intermediate re-encode ([[graft.codec.Image]]). Inter-frame video
+  * codecs (H.264 etc.) have no JDK decoder and are out of scope.
   * (In PySpark this surface would be `mapInPandas` over record batches;
   * the JVM-native equivalent used here is typed `mapPartitions`, which
   * keeps the same batch shape without the Python serialization hop.)
@@ -51,7 +53,10 @@ object Multimodal {
   }
 
   /** Nearest-neighbor resize to (w2, h2); undecodable rows pass through
-    * unchanged (format keeps marking them undecodable downstream). */
+    * unchanged (format keeps marking them undecodable downstream).
+    * Output payloads are GIMG raw raster regardless of input format —
+    * the cheap intermediate container for further pixel ops (re-deflate
+    * to PNG only at the lake edge). */
   def resize(images: Dataset[ImageRow], w2: Int, h2: Int): Dataset[ImageRow] = {
     import images.sparkSession.implicits._
     images.mapPartitions { it =>
@@ -61,7 +66,7 @@ object Multimodal {
         else {
           val r = Image.resizeNearest(img, w2, h2)
           row.copy(bytes = Image.encodeImage(r.width, r.height, r.channels,
-            r.pixels), width = r.width, height = r.height)
+            r.pixels), width = r.width, height = r.height, format = "gimg")
         }
       }
     }

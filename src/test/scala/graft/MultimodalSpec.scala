@@ -61,6 +61,58 @@ class ImageCodecSpec extends AnyFunSuite {
     // brightness drifts with frame index (generator adds +9/frame term)
     assert(Image.meanBrightness(f1.pixels) != Image.meanBrightness(f0.pixels))
   }
+
+  test("real PNG round-trip is pixel-exact (gray and RGB)") {
+    // known raster -> ImageIO PNG bytes -> decodeImage -> same pixels
+    val gray = Array.tabulate(7 * 5)(i => ((i * 41 + 3) % 256).toByte)
+    val pg = Image.encodePng(7, 5, 1, gray)
+    // a real PNG container, not our raster dump
+    assert((pg(0) & 0xff) == 0x89 && pg(1) == 'P' && pg(2) == 'N' && pg(3) == 'G')
+    val dg = Image.decodeImage(pg)
+    assert(dg != null && dg.width == 7 && dg.height == 5 && dg.channels == 1)
+    assert(dg.pixels.sameElements(gray))
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 29 + 11) % 256).toByte)
+    val pc = Image.encodePng(4, 3, 3, rgb)
+    val dc = Image.decodeImage(pc)
+    assert(dc != null && dc.width == 4 && dc.height == 3 && dc.channels == 3)
+    assert(dc.pixels.sameElements(rgb))
+  }
+
+  test("real JPEG decodes close to the source raster (lossy)") {
+    // smooth gradient (JPEG's happy case) — decoded pixels must stay
+    // within a small mean absolute error of the original
+    val w = 32; val h = 16
+    val src = Array.tabulate(h, w)((y, x) => (x * 255 / (w - 1)).toByte)
+      .flatten
+    val jb = Image.encodeJpeg(w, h, 1, src)
+    assert((jb(0) & 0xff) == 0xff && (jb(1) & 0xff) == 0xd8) // SOI marker
+    val d = Image.decodeImage(jb)
+    assert(d != null && d.width == w && d.height == h)
+    val mae = src.zip(d.pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble /
+      src.length
+    assert(mae < 4.0, s"JPEG mean abs error $mae")
+  }
+
+  test("MPNG video: frames round-trip; malformed sequences rejected") {
+    val w = 6; val h = 4; val c = 3
+    val fr = (0 until 3).map(f =>
+      Array.tabulate(w * h * c)(i => ((i * 13 + f * 40) % 256).toByte))
+    val mp = Image.encodeMpng(fr.map(p => Image.encodePng(w, h, c, p)))
+    val dv = Image.decodeVideo(mp)
+    assert(dv != null && dv.nFrames == 3 && dv.width == w && dv.channels == c)
+    (0 until 3).foreach { f =>
+      assert(Image.frame(dv, f).pixels.sameElements(fr(f)), s"frame $f")
+    }
+    // truncated payload / trailing garbage / mixed geometry all reject
+    assert(Image.decodeVideo(mp.dropRight(1)) == null)
+    assert(Image.decodeVideo(mp :+ 0.toByte) == null)
+    val mixed = Image.encodeMpng(Seq(
+      Image.encodePng(w, h, c, fr(0)),
+      Image.encodePng(w + 1, h, c,
+        Array.fill[Byte]((w + 1) * h * c)(1))))
+    assert(Image.decodeVideo(mixed) == null)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -86,7 +138,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("imageFeatures matches a driver-side decode of the same row") {
     val row = MediaGen.imageAt(0)
-    assume(row.format == "gimg")
+    assume(row.format != "bin")
     val img = Image.decodeImage(row.bytes)
     val f = Multimodal.imageFeatures(images).filter($"img_id" === row.img_id)
       .head()
@@ -102,16 +154,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
-  test("resize rewrites decodable payloads to the target grid") {
+  test("resize rewrites decodable payloads (incl. real PNG/JPEG) to the target grid") {
+    // generator mix covers png + jpeg + gimg — all must land on 8x8
+    val formats = images.collect().map(r => r.img_id -> r.format).toMap
+    assert(Set("png", "jpeg", "gimg").subsetOf(formats.values.toSet))
     val resized = Multimodal.resize(images, 8, 8).collect()
     assert(resized.length == N)
     resized.filter(_.format == "gimg").foreach { r =>
       val img = Image.decodeImage(r.bytes)
       assert(img != null && img.width == 8 && img.height == 8)
       assert(r.width == 8 && r.height == 8)
+      assert(formats(r.img_id) != "bin") // every decodable source format
     }
+    assert(resized.count(_.format == "gimg") == resized.length -
+      resized.count(_.format == "bin"))
     // undecodable rows pass through untouched
-    resized.filter(_.format == "jpeg").foreach { r =>
+    resized.filter(_.format == "bin").foreach { r =>
       assert(Image.decodeImage(r.bytes) == null && r.bytes.length == 64)
     }
   }

@@ -115,8 +115,9 @@ class QueriesSpec extends AnyFunSuite {
     // ordered quantiles
     val q = SparkEntry.queries("u3_approx_quantiles")(spark, sf).collect()
     q.foreach { r =>
-      val qs = r.getSeq[Long](1)
-      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2), qs.toString)
+      // flattened scalar columns (q25, q50, q90) — ordered by definition
+      val (q25, q50, q90) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(q25 <= q50 && q50 <= q90, r.toString)
     }
   }
 
