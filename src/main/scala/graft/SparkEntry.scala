@@ -20,7 +20,7 @@ object SparkEntry {
   /** Audio dedup fixture: n originals (distinct synth seeds) plus one
     * planted copy per 10th clip — volume-scaled 0.85x with fresh small
     * jitter — ids n+k for original k*10. */
-  private def audioDedupCorpus(s: SparkSession, n: Long): DataFrame = {
+  private[graft] def audioDedupCorpus(s: SparkSession, n: Long): DataFrame = {
     import s.implicits._
     val base = s.range(0, n, 1, 8).map { i =>
       val pcm = graft.codec.Audio.synth(i, 8000, 4096)
@@ -295,6 +295,15 @@ object SparkEntry {
     "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
+    "dedup_minhash_verified" -> ((s, d) =>
+      // sketch-generated candidates, exact-Jaccard verified — the one
+      // approximate dedup tier whose OUTPUT is value-exact, so it's
+      // oracle-checked against DuckDB's all-pairs exact Jaccard (the
+      // oracle is quadratic and only viable at test scale; the Spark
+      // side verifies only O(n·bands) bucket-mates)
+      Dedup.minHashLshVerified(t(s, d, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16,
+        candidateThreshold = 0.5, threshold = 0.8)),
     "dedup_components" -> ((s, d) => {
       // keep-policy step: connected components over duplicate pairs.
       // Pairs here are deterministic consecutive-id chains (4-node
@@ -943,6 +952,14 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "dedup_minhash_verified" ->
+      s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+          pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+          SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
+          FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+          WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.8""",
     "dedup_components" ->
       // edges live inside one block of 10 ids (a%10<=2, b=a+1), and doc
       // ids are contiguous, so each block's nodes form one component

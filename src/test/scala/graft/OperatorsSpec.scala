@@ -67,6 +67,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)), s"got $pairs")
   }
 
+  test("minHashLshVerified outputs EXACT jaccard for every emitted pair") {
+    val out = Dedup.minHashLshVerified(docs, "doc_id", "text",
+      n = 5, numHashes = 64, bands = 32,
+      candidateThreshold = 0.3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // exact all-pairs reference over the same normalized 5-gram space
+    def sh(t: String) = graft.lid.TextStats.shingles(t, 5)
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val exact = (for {
+      (a, ta) <- rows; (b, tb) <- rows if a < b
+      j = sh(ta).intersect(sh(tb)).size.toDouble / sh(ta).union(sh(tb)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(out.keySet == exact.keySet, s"spark=$out exact=$exact")
+    out.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) < 1e-3, s"$k: $v vs ${exact(k)}")
+    }
+  }
+
   test("one-permutation-hashing estimate tracks true jaccard") {
     val sa = graft.lid.TextStats.shingles(base, 5)
     val sb = graft.lid.TextStats.shingles(base.replace("gestern", "heute"), 5)
