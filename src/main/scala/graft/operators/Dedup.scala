@@ -156,23 +156,28 @@ object Dedup {
     * single shared permutation and k sparse bins (~m/k elements each), a
     * corpus-popular shingle that happens to draw a small value wins its
     * bin in EVERY document containing it, so same-language pairs agree on
-    * those bins above their pairwise Jaccard and bands over-fire —
-    * measured 7.7x candidate inflation vs k-perm on the sf0.1 corpus
-    * (288,849 vs 37,683 post-distinct pairs at 5k docs). One permutation
-    * per band keeps bins larger (m/rowsPerBand elements, so a popular
-    * shingle must out-draw ~m/rows competitors, not ~m/k) and makes bands
-    * independent draws exactly like k-perm banding, at ~bands/k of the
-    * hashing cost.
+    * those bins above their pairwise Jaccard and bands over-fire. One
+    * permutation per band keeps bins larger (m/rowsPerBand elements, so a
+    * popular shingle must out-draw ~m/rows competitors, not ~m/k) and
+    * makes bands independent draws exactly like k-perm banding, at
+    * ~bands/k of the hashing cost.
     *
-    * Measured residual (sf0.1, 5k docs, small-vocab corpus): candidates
-    * 6.6x k-perm (247,895 vs 37,683 — binning always concentrates the
-    * min-competition, and THIS corpus's 40-word vocabularies make
-    * same-language docs share most of their shingle space; web-scale text
-    * shares far less), signature pass 2-3x faster (0.55-0.75s vs
-    * 1.0-1.9s), full query wall-time parity. The scale argument: the
-    * signature pass touches EVERY doc (10^12) while the candidate join
-    * touches only bucket-mates, so the k-fold hashing saving dominates at
-    * corpus scale; verify-side correctness is unaffected (candidates are
+    * Measured (sf0.1, 5k docs, small-vocab corpus): the HONEST expected
+    * candidate count — Σ over pairs of 1-(1-J⁴)^16 computed from exact
+    * Jaccards on a 400-doc sample — is ≈230k post-distinct pairs; OPH
+    * realizes 248k and k-perm (with the exact Mersenne modmul of r3)
+    * 124k, both legitimate draws of a correlated-collision corpus (the
+    * 40-word per-language vocabularies make popular shingles shared by
+    * most same-language docs, so band collisions arrive in cliques with
+    * huge across-family variance; r2's k-perm measured 38k only because
+    * its wrapped-arithmetic "permutation" was biased LOW — under-
+    * generating candidates means silent under-recall at the threshold
+    * boundary, which is why the honest hash is the right trade even
+    * though the candidate work grew). Signature pass: OPH 2-3x faster
+    * (0.46-0.51s vs 1.1-2.7s). The scale argument: the signature pass
+    * touches EVERY doc (10^12) while the candidate join touches only
+    * bucket-mates, so the k-fold hashing saving dominates at corpus
+    * scale; verify-side correctness is unaffected (candidates are
     * filtered by the exact same estimate either way).
     *
     * Layout matches [[minHashLsh]]'s band slicing: slots
