@@ -198,6 +198,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("imageio decode path: corrupted PNG/JPEG/MPNG containers never throw") {
+    val px = Array.tabulate(8 * 8 * 3)(i => (i * 7 % 256).toByte)
+    val png = graft.codec.Image.encodePng(8, 8, 3, px)
+    val jpg = graft.codec.Image.encodeJpeg(8, 8, 3, px)
+    // every truncation of a real container: null or a decode, never a throw
+    for (c <- Seq(png, jpg); n <- 0 until c.length by 7)
+      graft.codec.Image.decodeImage(c.take(n))
+    // signature-prefixed junk REACHES the ImageIO reader (passes the
+    // sniff) and must be rejected via the error-isolation path
+    val rnd = new scala.util.Random(11)
+    (0 until 100).foreach { _ =>
+      val junk = Array.fill(64)((rnd.nextInt(256) - 128).toByte)
+      System.arraycopy(png, 0, junk, 0, 8) // PNG signature
+      assert(graft.codec.Image.decodeImage(junk) == null)
+      val junk2 = junk.clone()
+      junk2(0) = 0xff.toByte; junk2(1) = 0xd8.toByte // JPEG SOI
+      graft.codec.Image.decodeImage(junk2)
+    }
+    // MPNG with bit-flipped payload bytes: null or valid, never a throw
+    val mp = graft.codec.Image.encodeMpng(Seq(png, png))
+    (0 until mp.length by 11).foreach { i =>
+      val m = mp.clone(); m(i) = (m(i) ^ 0x5a).toByte
+      graft.codec.Image.decodeVideo(m)
+    }
+  }
+
   test("band energies: unit norm and volume invariance for random PCM") {
     val g = for {
       seed <- Gen.choose(0L, Long.MaxValue)
