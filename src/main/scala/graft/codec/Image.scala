@@ -198,13 +198,43 @@ object Image {
     }
   }
 
+  // All payloads are already in-memory byte arrays — the JDK default
+  // (useCache=true) would spill EVERY decode/encode through a
+  // java.io.tmpdir file: per-row disk I/O on the hot path, and a silent
+  // null-out of all images on an executor whose tmp dir is full or
+  // read-only (the cache-file IOException lands in the NonFatal catch).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Decoded-raster ceiling for the ImageIO path (pixels). The header
+    * dimensions are CORRUPTION/ATTACKER-CONTROLLED and ImageIO.read
+    * allocates the full raster from them BEFORE any caller-side guard
+    * could run — an OutOfMemoryError is not per-row-isolatable (it
+    * kills the task, not the row), so dimensions are probed from the
+    * header and bounded BEFORE the pixel decode. 2^24 px = 48 MB RGB
+    * raster ceiling per in-flight image; larger assets belong behind a
+    * metadata prune (filter-before-decode) and a dedicated path. */
+  val MaxDecodePixels: Long = 1L << 24
+
   /** PNG/JPEG/BMP/GIF via the JDK's ImageIO readers. Null on anything
-    * unreadable — same per-row error isolation as the GIMG path. */
+    * unreadable or header-declared larger than [[MaxDecodePixels]] —
+    * same per-row error isolation as the GIMG path. */
   private def decodeImageIo(bytes: Array[Byte]): Decoded =
     try {
-      val bi = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      if (bi == null) null else fromBuffered(bi)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          // dimension probe reads only the header — no raster allocation
+          val w = reader.getWidth(0).toLong
+          val h = reader.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > MaxDecodePixels) return null
+          fromBuffered(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => null }
 
   // ------------------------------------------------------------- decode

@@ -234,7 +234,14 @@ object Dedup {
 
   /** MinHash + banded LSH near-dup candidate pairs with estimated
     * similarity >= threshold (estimate = fraction of equal signature
-    * slots, verified against the banding false positives). */
+    * slots, verified against the banding false positives).
+    *
+    * EAGER: the survivor pairs are materialized (localCheckpoint)
+    * inside the call so the operator can release its signature cache —
+    * the returned frame is a computed result, not a composable lazy
+    * plan (downstream filters won't push into the candidate job). This
+    * is the intended contract for a dedup tier: its output is always
+    * consumed in full by components/keep-policy. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, oph: Boolean = false): DataFrame = {
@@ -305,10 +312,19 @@ object Dedup {
     import spark.implicits._
     val cands = minHashLsh(df, idCol, textCol, n, numHashes, bands,
       candidateThreshold).select($"a", $"b")
+    // shingle ONLY the candidate ids (semi-join first — candidates are
+    // few by construction, the corpus is not), and persist so the two
+    // join sides share one shingling pass instead of re-running
+    // normText+shingleCol over the corpus once per side. Operator owns
+    // persist AND unpersist (same cache-lifetime policy as minHashLsh).
+    val candIds = cands.select($"a".as("id"))
+      .union(cands.select($"b".as("id"))).distinct()
     val sh = df.select(col(idCol).cast("long").as("id"),
       normText(col(textCol)).as("t"))
+      .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingleCol(col("t"), n).as("sh"))
-    cands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = cands
       .join(sh.select($"id".as("a"), $"sh".as("sha")), "a")
       .join(sh.select($"id".as("b"), $"sh".as("shb")), "b")
       .withColumn("jaccard",
@@ -316,6 +332,9 @@ object Dedup {
           size(array_union($"sha", $"shb")), 4))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
+      .localCheckpoint(eager = true)
+    sh.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup pairs against an anchor subset (exact).
@@ -561,7 +580,9 @@ object Dedup {
     * for pairs whose peaks moved ≥2 bands, which at SNR ≥ 30 dB does
     * not happen (FftSpec measures the μ-law/noise envelope).
     * Undecodable or all-silent clips are isolated out of candidate
-    * generation. At scale: one narrow O(n·frames·log frameLen) pass,
+    * generation. EAGER like [[minHashLsh]]: survivor pairs materialize
+    * inside the call so the decoded-feature cache can be released.
+    * At scale: one narrow O(n·frames·log frameLen) pass,
     * then a shuffle keyed by peak band carrying (id, band, nBands
     * doubles) ≈ 0.5 KB/row — never an all-pairs waveform compare.
     * Single-tone-heavy corpora make SOME bands hot; that skew is the

@@ -65,8 +65,12 @@ object Multimodal {
         if (img == null) row
         else {
           val r = Image.resizeNearest(img, w2, h2)
+          // channels comes from the DECODED container (ImageIO may
+          // expand/disagree with the caller-supplied metadata) — keep
+          // the row's metadata consistent with the new payload
           row.copy(bytes = Image.encodeImage(r.width, r.height, r.channels,
-            r.pixels), width = r.width, height = r.height, format = "gimg")
+            r.pixels), width = r.width, height = r.height,
+            channels = r.channels, format = "gimg")
         }
       }
     }

@@ -43,7 +43,11 @@ class DedupSpec extends AnyFunSuite {
     val corners = Seq(0L, 1L, 2L, P - 1, P - 2, 1L << 60)
     val draws = (0 until 5000).map(_ => math.abs(rnd.nextLong()) % P)
     val vals = corners ++ draws
-    vals.zip(vals.reverse).foreach { case (a, x) =>
+    // corner x corner covers the maximal 122-bit products ((P-1)^2,
+    // 2^120, ...); zip covers corner x random and random x random
+    val pairs = (for (a <- corners; x <- corners) yield (a, x)) ++
+      vals.zip(vals.reverse)
+    pairs.foreach { case (a, x) =>
       val expect = ((BigInt(a) * BigInt(x)) mod BigInt(P)).toLong
       assert(Dedup.mulModP(a, x) == expect, s"a=$a x=$x")
     }
