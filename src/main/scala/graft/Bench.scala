@@ -86,9 +86,18 @@ object Bench {
         .filterNot(_._1.startsWith("pipeline_"))
         .map { case (name, fn) =>
           val q0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - q0) / 1e9
+          // a failed query must be VISIBLE in the output, not recorded
+          // as a (short, flattering) timing: negative seconds = failed
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(s"BENCH-FAIL $name: " +
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}")
+                false
+            }
+          val dt = (System.nanoTime() - q0) / 1e9
+          name -> (if (ok) dt else -dt)
         }
     val qs = (results :+ ("pipeline" -> pipelineSec))
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

@@ -65,8 +65,14 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------ shared columns
+  // Unicode-aware (\p{L}): Java's bare \W is ASCII-only, which would
+  // strip é/ü/ß as "non-word" and depress the ratio for exactly the
+  // accented languages this corpus carries — the pipeline's own
+  // TextStats.alphabeticalRatio runs UNICODE_CHARACTER_CLASS for the
+  // same reason (Python-\W parity). DuckDB's RE2 oracle agrees on
+  // \p{L}, so both engines count the same letters.
   private def alphaRatio(c: Column): Column =
-    length(regexp_replace(c, "[\\W_\\d]+", "")).cast("double") / length(c)
+    length(regexp_replace(c, "[^\\p{L}]+", "")).cast("double") / length(c)
 
   /** Deterministic "second LID system" over documents (for the
     * disagreement/eval operator family — A9/A14/A15). */
@@ -870,15 +876,15 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "p1_alpha_ratio" ->
-      """SELECT doc_id, round(length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio FROM documents""",
+      """SELECT doc_id, round(length(regexp_replace(text, '[^\p{L}]+', '', 'g')) / CAST(length(text) AS DOUBLE), 4) AS alpha_ratio FROM documents""",
     "p2_base_info" ->
       "SELECT doc_id, length(text) AS len, lang AS orig_lg, source FROM documents",
     "p5_id_parse" ->
       "SELECT doc_id, CAST(substr(source, 4, 10) AS INTEGER) AS src_num FROM documents",
     "f1_valid_gate" ->
-      """SELECT doc_id, (n_chars >= 20 AND length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5) AS valid FROM documents""",
+      """SELECT doc_id, (n_chars >= 20 AND length(regexp_replace(text, '[^\p{L}]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5) AS valid FROM documents""",
     "f4_stats_filter" ->
-      """SELECT doc_id FROM documents WHERE length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5 AND n_chars * (length(regexp_replace(text, '[\W_\d]+', '', 'g')) / CAST(length(text) AS DOUBLE)) >= 200""",
+      """SELECT doc_id FROM documents WHERE length(regexp_replace(text, '[^\p{L}]+', '', 'g')) / CAST(length(text) AS DOUBLE) >= 0.5 AND n_chars * (length(regexp_replace(text, '[^\p{L}]+', '', 'g')) / CAST(length(text) AS DOUBLE)) >= 200""",
     "a1_type_dist" ->
       "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
     "a2_len_hist" ->
@@ -940,8 +946,12 @@ object SparkEntry {
          SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, count(*) AS n_events FROM x GROUP BY 1""",
     "e3_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events",
-    "dedup_exact" ->
-      s"SELECT md5(${normTextSql("text")}) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_docs FROM documents GROUP BY 1",
+    "dedup_exact" -> // null/blank texts key by own id (never co-cluster)
+      s"""SELECT CASE WHEN length(${normTextSql("text")}) > 0
+            THEN md5(${normTextSql("text")})
+            ELSE 'empty:' || doc_id END AS text_md5,
+          min(doc_id) AS keeper_id, count(*) AS n_docs
+          FROM documents GROUP BY 1""",
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 2, 1)),

@@ -33,11 +33,8 @@ object ScalingControl {
       var st = seed; var acc = 0L
       var i = 0
       while (i < work) {
-        st += 0x9e3779b97f4a7c15L
-        var z = st
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        acc ^= z ^ (z >>> 31)
+        st += graft.util.Mix.Golden
+        acc ^= graft.util.Mix.fin(st)
         i += 1
       }
       acc

@@ -262,11 +262,8 @@ object Audio {
     // Deterministic in `seed`; same freq/amp envelope as before.
     var st = seed
     def next(): Long = {
-      st += 0x9e3779b97f4a7c15L
-      var z = st
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
+      st += graft.util.Mix.Golden
+      graft.util.Mix.fin(st)
     }
     val freq = 180.0 + (next() & Long.MaxValue) % 2800
     val amp = 6000.0 + (next() & Long.MaxValue) % 14000

@@ -287,7 +287,10 @@ object Image {
     while (f < nf) {
       if (off + 4 > bytes.length) return null
       val len = getInt(bytes, off); off += 4
-      if (len <= 0 || off + len > bytes.length) return null
+      // `len > bytes.length - off` (not `off + len > length`): a crafted
+      // len near Int.MaxValue overflows the sum and would reach
+      // copyOfRange as an uncaught throw instead of a null row
+      if (len <= 0 || len > bytes.length - off) return null
       val img = decodeImageIo(
         java.util.Arrays.copyOfRange(bytes, off, off + len))
       off += len

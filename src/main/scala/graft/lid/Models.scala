@@ -266,11 +266,16 @@ final class SampledNbLid(
   private val earlyIdx = langs.zipWithIndex
     .filter(li => earlyStopLangs.contains(li._1)).map(_._2).toArray
 
+  // order tag OR'd AFTER the char loop: tagging first and shifting per
+  // char pushed the tag past bit 63, so NUL-led grams of different
+  // orders shared keys (n <= 3 chars use bits 0-47; the tag sits at
+  // 48+). Identical keys for NUL-free text, so trained behavior is
+  // unchanged there.
   private def packGram(t: String, i: Int, n: Int): Long = {
-    var key = n.toLong << 48
+    var key = 0L
     var j = i
     while (j < i + n) { key = (key << 16) | t.charAt(j); j += 1 }
-    key
+    key | (n.toLong << 48)
   }
 
   def train(corpus: Seq[(String, String)]): this.type = {
@@ -317,12 +322,8 @@ final class SampledNbLid(
     * inclusion coin is byte t of the mix (trials stay independent
     * subsamples, at a third of the hashing cost — this is the per-gram
     * hot loop, 3 gram orders per char). Seeded at 42 (LI:155). */
-  private def coinWord(g: Long): Long = {
-    var x = g ^ (42L * 0x9e3779b97f4a7c15L)
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def coinWord(g: Long): Long =
+    graft.util.Mix.fin(g ^ (42L * graft.util.Mix.Golden))
 
   override def predict(text: String): Array[(String, Double)] = {
     if (text == null || text.isEmpty) return Array.empty
@@ -563,12 +564,17 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
   private val contexts = new scala.collection.mutable.LongMap[Int]
   private var charVocab = 64.0
 
-  /** Pack s[from..until) (until-from <= 3) into a tagged Long key. */
+  /** Pack s[from..until) (until-from <= 3) into a tagged Long key.
+    * The length tag (empty ctx = 1) is OR'd after the char loop — chars
+    * occupy bits 0-47, the tag bits 48+; tagging before shifting pushed
+    * the tag out of the word for non-empty grams, letting NUL-led grams
+    * of different orders collide (keys are unchanged for NUL-free
+    * text). */
   private def pack(s: CharSequence, from: Int, until: Int): Long = {
-    var key = (until - from + 1).toLong << 48 // length tag; empty ctx = 1
+    var key = 0L
     var i = from
     while (i < until) { key = (key << 16) | s.charAt(i); i += 1 }
-    key
+    key | ((until - from + 1).toLong << 48)
   }
 
   def train(corpus: Seq[String]): this.type = {

@@ -77,12 +77,7 @@ object ClipGen {
     else if (r < 0.99) Undecodable
     else SilentAudio
 
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def splitmix(x0: Long): Long = graft.util.Mix.mix(x0)
 
   private val piiSnippets: Vector[Random => String] = Vector(
     _ => "jean.muller@example.lu",

@@ -54,12 +54,7 @@ object MediaGen {
 
   val DefaultSeed = 42L
 
-  private def splitmix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  private def splitmix(x0: Long): Long = graft.util.Mix.mix(x0)
 
   /** Pixel value: horizontal gradient + per-asset hash noise, so
     * brightness/contrast/edges are non-trivial and frame-dependent. */

@@ -30,12 +30,34 @@ object Dedup {
   private def normText(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Integral-id guard for the pair tiers: a string id would
+    * cast-to-null, null out the `a < b` pair filter, and return an
+    * EMPTY result — a dedup run that silently deduplicates nothing.
+    * Fail loudly instead; callers with string keys derive an integral
+    * one first (xxhash64 / row index). */
+  private def longId(df: DataFrame, idCol: String): Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"dedup pair tiers need an integral id column; '$idCol' is $dt — " +
+        "derive one first (e.g. xxhash64(id)); a silent cast would " +
+        "null every id and return an empty result")
+    col(idCol).cast("long")
+  }
+
   /** Exact dedup: one row per distinct text with the minimal id as
-    * keeper and the duplicate count. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(normText(col(textCol))).as("text_md5"))
+    * keeper and the duplicate count. Null/blank transcripts are NOT
+    * duplicates of each other (same contract as the streaming dedup):
+    * they key by their own id, so none is swallowed by a keep policy —
+    * their payloads (e.g. valid audio) survive. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = normText(col(textCol))
+    val key = when(length(norm) > 0, md5(norm))
+      .otherwise(concat(lit("empty:"), col(idCol).cast("string")))
+    df.groupBy(key.as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_docs"))
+  }
 
   /** Char-shingle set of an ALREADY-NORMALIZED column, distinct. The
     * caller must project [[normText]] into its own column first —
@@ -59,8 +81,11 @@ object Dedup {
       maxShingleDf: Long = 100L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val inv = df.select(col(idCol).cast("long").as("id"),
+    // blank/null texts carry no shingles to compare (and the degenerate
+    // "" shingle would pair every empty doc with every other)
+    val inv = df.select(longId(df, idCol).as("id"),
       normText(col(textCol)).as("t"))
+      .filter(length($"t") > 0)
       .select(col("id"), explode(shingleCol(col("t"), n)).as("shingle"))
     val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxShingleDf).select($"shingle")
@@ -85,12 +110,7 @@ object Dedup {
     * over a 61-bit Mersenne prime — standard MinHash construction. */
   private val P = (1L << 61) - 1
   private def perm(i: Int): (Long, Long) = {
-    def mix(x0: Long): Long = {
-      var x = x0 + 0x9e3779b97f4a7c15L
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x ^ (x >>> 31)
-    }
+    import graft.util.Mix.mix
     ((mix(2L * i + 1).abs % (P - 1)) + 1, mix(2L * i + 2).abs % P)
   }
 
@@ -199,11 +219,10 @@ object Dedup {
       while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
       var band = 0
       while (band < nb) {
-        // per-band permutation: splitmix of the band-salted base hash
-        var b = h ^ ((band + 1).toLong * 0x9e3779b97f4a7c15L)
-        b = (b ^ (b >>> 30)) * 0xbf58476d1ce4e5b9L
-        b = (b ^ (b >>> 27)) * 0x94d049bb133111ebL
-        b ^= (b >>> 31)
+        // per-band permutation: splitmix finalizer of the band-salted
+        // base hash
+        val b = graft.util.Mix.fin(
+          h ^ ((band + 1).toLong * graft.util.Mix.Golden))
         val bin = band * rpb + ((b & Long.MaxValue) % rpb).toInt
         val v = (b * 0xff51afd7ed558ccdL) & Long.MaxValue
         if (v < sig(bin)) sig(bin) = v
@@ -254,12 +273,17 @@ object Dedup {
       if (oph) signatureOph(_, numHashes, bands) else signature(_, numHashes)
     // persisted: the signature map is referenced by THREE subtrees
     // (bucket explode + both post-distinct joins) — without persist the
-    // k-hash-per-shingle computation re-executes once per subtree
-    val sigs = df.select(col(idCol).cast("long").as("id"),
+    // k-hash-per-shingle computation re-executes once per subtree.
+    // Empty shingle sets (null/blank text) are excluded: they would all
+    // share the identical sentinel signature and pair with est = 1.0.
+    val sigs = df.select(longId(df, idCol).as("id"),
       col(textCol).as("text")).as[(Long, String)]
       .map { case (id, text) =>
-        SigRow(id, sigFn(graft.lid.TextStats.shingles(text, n)))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sh = graft.lid.TextStats.shingles(text, n)
+        SigRow(id, if (sh.isEmpty) null else sigFn(sh))
+      }
+      .filter(_.sig != null)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band → bucket key; only bucket-mates meet in the join. The exploded
     // side carries ONLY (band, bucket, id) — shuffling the 64-long
     // signature bands× per doc (~8 KB/doc) dominated the exchange at
@@ -319,7 +343,7 @@ object Dedup {
     // persist AND unpersist (same cache-lifetime policy as minHashLsh).
     val candIds = cands.select($"a".as("id"))
       .union(cands.select($"b".as("id"))).distinct()
-    val sh = df.select(col(idCol).cast("long").as("id"),
+    val sh = df.select(longId(df, idCol).as("id"),
       normText(col(textCol)).as("t"))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingleCol(col("t"), n).as("sh"))
@@ -347,7 +371,7 @@ object Dedup {
       threshold: Double, anchorMod: Long = 10L): DataFrame = {
     graft.functions.VectorOps.register(df.sparkSession)
     import org.apache.spark.sql.functions.broadcast
-    val v = df.select(col(idCol).cast("long").as("b"),
+    val v = df.select(longId(df, idCol).as("b"),
       col(vecCol).cast("array<double>").as("vb"))
     val anchors = v.filter(col("b") % anchorMod === 0)
       .select(col("b").as("a"), col("vb").as("va"))
@@ -373,7 +397,7 @@ object Dedup {
       multiProbe: Boolean = true): DataFrame = {
     graft.functions.VectorOps.register(df.sparkSession)
     import df.sparkSession.implicits._
-    val v = df.select(col(idCol).cast("long").as("id"),
+    val v = df.select(longId(df, idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, planes))
     val probes =
@@ -422,10 +446,10 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     // symmetric edge list (propagation must flow both directions)
-    val edges = pairs.select($"a".cast("long").as("id"),
-      $"b".cast("long").as("nbr"))
-      .union(pairs.select(col("b").cast("long").as("id"),
-        col("a").cast("long").as("nbr")))
+    val edges = pairs.select(longId(pairs, "a").as("id"),
+      longId(pairs, "b").as("nbr"))
+      .union(pairs.select(longId(pairs, "b").as("id"),
+        longId(pairs, "a").as("nbr")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy($"id")
@@ -485,7 +509,7 @@ object Dedup {
   def keepPolicy(df: DataFrame, idCol: String,
       pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val labels = components(pairs, maxIter)
-    df.select(col(idCol).cast("long").as("id"))
+    df.select(longId(df, idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("label"), col("id")).as("label"))
@@ -532,8 +556,12 @@ object Dedup {
     graft.functions.SimHashOps.register(spark)
     // native codegen expression, not a typed map: the encoder round-trip
     // broke whole-stage codegen at both edges of the hash projection
-    val hashes = df.select(col(idCol).cast("long").as("id"),
-      graft.functions.SimHashOps.simhash64(col(textCol), n).as("sh"))
+    // blank/null texts all hash to the same value (hamming 0 with each
+    // other) yet have no content to be near-duplicate of — excluded,
+    // same contract as exact/minHashLsh
+    val hashes = df.filter(length(trim(col(textCol))) > 0)
+      .select(longId(df, idCol).as("id"),
+        graft.functions.SimHashOps.simhash64(col(textCol), n).as("sh"))
     hammingPairs(hashes, maxHamming, chunks)
   }
 
@@ -595,7 +623,7 @@ object Dedup {
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
-    val feats = df.select(col(idCol).cast("long").as("id"),
+    val feats = df.select(longId(df, idCol).as("id"),
       col(codecCol).as("codec"), col(bytesCol).as("bytes"))
       .as[(Long, String, Array[Byte])]
       .map { case (id, codec, bytes) =>

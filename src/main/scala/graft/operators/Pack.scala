@@ -62,15 +62,18 @@ object Pack {
   }
 
   /** DataFrame adapter: token counts = whitespace word counts of
-    * `textCol` (swap in BPE counts via the same shape). Null text counts
-    * as 0 tokens — `size(split(null))` is NULL, which the non-nullable
-    * Int encoder would reject at runtime. */
+    * `textCol` (swap in BPE counts via the same shape). Null AND blank
+    * text both count 0 tokens — `size(split(null))` is NULL (rejected by
+    * the non-nullable Int encoder) and `split(trim("  "))` is `[""]`
+    * (size 1), which would charge empty docs one phantom token each. */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, numPartitions: Int = 32): DataFrame = {
     import df.sparkSession.implicits._
+    val trimmed = trim(col(textCol))
     packSequences(
       df.select(col(idCol).cast("long"),
-        coalesce(size(split(trim(col(textCol)), "\\s+")), lit(0)))
+        when(coalesce(length(trimmed), lit(0)) === 0, lit(0))
+          .otherwise(size(split(trimmed, "\\s+"))))
         .as[(Long, Int)],
       maxTokens, numPartitions).toDF()
   }

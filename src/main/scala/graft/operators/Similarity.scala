@@ -54,10 +54,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim). */
   private def planeComponent(plane: Int, dim: Int): Double = {
-    var x = (plane.toLong << 32 | dim.toLong) + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^= (x >>> 31)
+    val x = graft.util.Mix.mix(plane.toLong << 32 | dim.toLong)
     (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 

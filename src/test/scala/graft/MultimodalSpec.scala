@@ -107,6 +107,12 @@ class ImageCodecSpec extends AnyFunSuite {
     // truncated payload / trailing garbage / mixed geometry all reject
     assert(Image.decodeVideo(mp.dropRight(1)) == null)
     assert(Image.decodeVideo(mp :+ 0.toByte) == null)
+    // crafted frame length near Int.MaxValue must not overflow the
+    // bounds check into copyOfRange (null, not a throw)
+    val crafted = "MPNG".getBytes ++ Array[Byte](1, 0, 0, 0, 1,
+      0x7f.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](8)(0)
+    assert(Image.decodeVideo(crafted) == null)
     val mixed = Image.encodeMpng(Seq(
       Image.encodePng(w, h, c, fr(0)),
       Image.encodePng(w + 1, h, c,
