@@ -203,9 +203,16 @@ object Similarity {
       .map { case (qid, qvec) =>
         (qid, qvec, nearestLists(cents, normalize(qvec.toArray), nProbe))
       }.toSeq
+    // probe lists EXPLODED to (qid, qvec, list) rows so the probe join
+    // is a broadcast-hash EQUI-join on list id: each corpus row does one
+    // O(1) hash lookup. The previous `array_contains(probes, list)`
+    // condition planned a BroadcastNestedLoopJoin — every corpus row
+    // evaluated against every query, which silently voided the
+    // nProbe/nLists scan-fraction promise (caught by the plan audit).
     val q = probes.toDF("qid", "qvec", "probes")
+      .select(col("qid"), col("qvec"), explode(col("probes")).as("list"))
     val scored = assigned
-      .join(broadcast(q), array_contains(col("probes"), col("list")))
+      .join(broadcast(q), Seq("list"))
       .filter(col("vid") =!= col("qid"))
       .withColumn("sim", round(cosine(col("qvec"), col("vec")), 4))
     val w = Window.partitionBy(col("qid"))

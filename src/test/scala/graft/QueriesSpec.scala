@@ -133,6 +133,48 @@ class QueriesSpec extends AnyFunSuite {
     assert(piv.contains("HashAggregate"), piv)
   }
 
+  test("plan audit: pushdown, broadcasts, no cartesian product (scale invariants)") {
+    def plan(q: String): String =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+    // q6: every predicate reaches the parquet scan as a PushedFilter —
+    // row groups skip server-side instead of filtering post-read
+    val q6 = plan("q6_selective_agg")
+    assert(q6.contains("PushedFilters: [") &&
+      q6.contains("GreaterThanOrEqual(l_discount"), q6)
+    // column pruning: the q6 scan reads only the 3 referenced columns
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(q6).getOrElse("")
+    assert(rs.contains("l_discount") && rs.contains("l_quantity") &&
+      rs.contains("l_extendedprice") && !rs.contains("l_comment"), rs)
+
+    // q5: the two dim tables broadcast (no shuffle for small sides)
+    val q5 = plan("q5_region_revenue")
+    assert(q5.contains("BroadcastHashJoin"), q5)
+    // j1: customer side broadcasts under the explicit hint
+    assert(plan("j1_broadcast_join").contains("BroadcastHashJoin"))
+    // j2 semi/anti joins stay semi/anti at the physical level
+    assert(plan("j2_semi_join").contains("LeftSemi"))
+    assert(plan("j2_anti_join_resume").contains("LeftAnti"))
+
+    // NOTHING in the suite may plan a cartesian product; the only
+    // broadcast nested loops allowed are broadcast-of-scalar/anchor
+    // crossJoins (tfidf nDocs, drift glob, mixture minc, embedding
+    // anchors, brute-force queries)
+    val allowedNestedLoop = Set("text_tfidf_topk", "quality_drift_monitor",
+      "sample_mixture_balance", "dedup_embedding_cosine",
+      "sim_topk_bruteforce")
+    SparkEntry.queries.keys.filterNot(_.startsWith("pipeline_"))
+      .filterNot(Set("dedup_audio_neardup", "dedup_audio_keep",
+        "mm_image_features", "mm_resize", "mm_video_frame_sample"))
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+        if (!allowedNestedLoop(q))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$q plans a nested loop join:\n$p")
+      }
+  }
+
   test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
     val r = SparkEntry.queries("sample_stratified")(spark, sf)
     val bySource = r.groupBy("source").agg(count(lit(1)).as("n"))
