@@ -36,6 +36,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("null/blank transcripts never co-cluster in any batch tier") {
+    // same contract as the streaming dedup: nothing to compare = not a
+    // duplicate; empty docs keep themselves (their payloads survive)
+    val d = Seq((1L, null: String), (2L, "   "), (3L, ""),
+      (4L, "ein echter text mit inhalt hier drin"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.exact(d, "doc_id", "text").collect()
+    assert(ex.length == 4 && ex.forall(_.getLong(2) == 1L), ex.mkString("|"))
+    assert(Dedup.minHashLsh(d, "doc_id", "text", threshold = 0.0)
+      .collect().isEmpty)
+    assert(Dedup.simHash(d, "doc_id", "text").collect().isEmpty)
+    assert(Dedup.ngramJaccard(d, "doc_id", "text", threshold = 0.0)
+      .collect().isEmpty)
+  }
+
+  test("pair tiers reject a string id column loudly (no silent empties)") {
+    val sdf = Seq(("clip-a", "some text here"), ("clip-b", "more text"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(sdf, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.simHash(sdf, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(sdf, "doc_id", "text")
+    }
+  }
+
   test("mulModP is the exact (a*x) mod (2^61-1) — BigInt cross-check") {
     val rnd = new scala.util.Random(3)
     val P = (1L << 61) - 1
