@@ -301,6 +301,13 @@ object SparkEntry {
     "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
+    "dedup_repeated_spans" -> ((s, d) =>
+      // cross-document repeated spans via winnowing fingerprints
+      // (MOSS selection rule) — the distributed form of exact substring
+      // dedup; md5-based selection so the DuckDB oracle reproduces the
+      // winnow bit-for-bit (value-exact compare)
+      Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text",
+        window = 40, guarantee = 8, minDocs = 2)),
     "dedup_minhash_verified" -> ((s, d) =>
       // sketch-generated candidates, exact-Jaccard verified — the one
       // approximate dedup tier whose OUTPUT is value-exact, so it's
@@ -962,6 +969,16 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "dedup_repeated_spans" ->
+      s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+          w AS (SELECT doc_id, CAST(i AS INT) AS pos, substr(t, CAST(i AS INT), 40) AS span
+                FROM docs, generate_series(1, 2000) g(i)
+                WHERE length(t) >= 40 AND i <= length(t) - 39),
+          h AS (SELECT doc_id, pos, span, md5(span) AS h FROM w),
+          m AS (SELECT *, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
+          sel AS (SELECT DISTINCT doc_id, span FROM m WHERE h = mn)
+          SELECT span, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+          FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),

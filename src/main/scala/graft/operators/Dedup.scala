@@ -315,6 +315,49 @@ object Dedup {
     out
   }
 
+  /** Cross-document repeated spans via winnowing fingerprints
+    * (Schleimer, Wilkerson & Aiken 2003 — the MOSS selection rule): the
+    * distributed-friendly form of exact substring dedup (Lee et al.
+    * 2021 use suffix arrays, which don't shard; winnowing does).
+    *
+    * Every `window`-char substring of the normalized text is hashed;
+    * position i is SELECTED iff its hash is the minimum over the next
+    * `guarantee` positions [i, i+g-1]. Selection depends only on local
+    * CONTENT (not absolute position), so two documents sharing any
+    * region of ≥ window+guarantee-1 chars select at least one identical
+    * span inside it — a plain stride would miss repeats whose grids
+    * are phase-shifted. Selected spans groupBy-count across docs;
+    * output = spans appearing in ≥ minDocs distinct documents.
+    *
+    * At scale: the explode is O(chars) rows but only ~1/guarantee of
+    * them survive selection before the exchange — the groupBy shuffles
+    * winnowed (span, doc) rows, ~2·window bytes each. The hash is md5
+    * (not xxhash64) so an external SQL engine can reproduce the
+    * selection bit-for-bit (lexicographic min over lowercase hex is
+    * engine-independent). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 40, guarantee: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wdf = df.select(longId(df, idCol).as("id"),
+      normText(col(textCol)).as("t"))
+      .filter(length($"t") >= window)
+      .select($"id", posexplode(expr(
+        s"transform(sequence(1, length(t) - ${window - 1})," +
+          s" i -> substring(t, i, $window))")).as(Seq("pos", "span")))
+      .withColumn("h", md5($"span"))
+    val w = Window.partitionBy($"id").orderBy($"pos")
+      .rowsBetween(0, guarantee - 1)
+    wdf.withColumn("mn", min($"h").over(w))
+      .filter($"h" === $"mn")
+      .groupBy($"span")
+      .agg(countDistinct($"id").as("n_docs"), min($"id").as("first_doc"))
+      .filter($"n_docs" >= minDocs)
+      .select($"span", $"n_docs", $"first_doc")
+  }
+
   /** MinHash-LSH candidates VERIFIED with exact Jaccard — the
     * production near-dup tier: the sketch only GENERATES candidates
     * (generous `candidateThreshold` on the estimate), the decision is

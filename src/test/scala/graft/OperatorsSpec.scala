@@ -101,6 +101,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 2L)), s"got $pairs")
   }
 
+  test("repeatedSpans: winnowing finds PHASE-SHIFTED shared regions >= w+g-1") {
+    // the shared region sits at DIFFERENT offsets in the two docs — a
+    // plain stride-8 grid would sample phase-shifted windows and miss
+    // it; winnowing's content-local min rule cannot
+    val shared = "der gemeinderat hat das neue budget gestern abend final" // 55 >= 40+8-1
+    val a = s"kurzer anfang $shared und noch ein ende hier"
+    val b = s"ein voellig anderer und laengerer einstieg text $shared schluss"
+    val c = "dieser text teilt mit den anderen keinerlei gemeinsame passagen irgendwo"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text",
+      window = 40, guarantee = 8, minDocs = 2).collect()
+    assert(out.nonEmpty, "no shared span found")
+    out.foreach { r =>
+      // the truly-shared region includes the flanking spaces both docs
+      // carry around the planted sentence
+      assert((" " + shared + " ").contains(r.getString(0)),
+        s"span outside the shared region: '${r.getString(0)}'")
+      assert(r.getLong(1) == 2 && r.getLong(2) == 1L)
+    }
+    // determinism
+    val again = Dedup.repeatedSpans(d, "doc_id", "text",
+      window = 40, guarantee = 8, minDocs = 2).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("minHashLshVerified outputs EXACT jaccard for every emitted pair") {
     val out = Dedup.minHashLshVerified(docs, "doc_id", "text",
       n = 5, numHashes = 64, bands = 32,
