@@ -234,6 +234,34 @@ object TextStats {
     h
   }
 
+  /** Most frequent word 2-gram of the text, ties broken
+    * lexicographically — the Gopher repetition-rule numerator. Null for
+    * < 2 whitespace tokens. Row-LOCAL: a doc's top bigram needs only
+    * that doc, so the operator runs as a narrow typed map with zero
+    * shuffle (the explode → groupBy(doc, bigram) → window formulation
+    * exchanged every bigram occurrence for the same answer). Token
+    * split matches `split(trim(text), "\\s+")` exactly. */
+  def topBigram(text: String): (String, Int) = {
+    if (text == null) return null
+    val ws = text.trim.split("\\s+")
+    if (ws.length < 2 || ws(0).isEmpty) return null
+    val counts = new java.util.HashMap[String, Int]
+    var i = 0
+    while (i < ws.length - 1) {
+      val bg = ws(i) + " " + ws(i + 1)
+      counts.merge(bg, 1, Integer.sum)
+      i += 1
+    }
+    var best: String = null
+    var bestC = 0
+    counts.forEach { (bg, c) =>
+      if (c > bestC || (c == bestC && (best == null || bg < best))) {
+        best = bg; bestC = c
+      }
+    }
+    (best, bestC)
+  }
+
   /** Character shingles (n-grams) of the whitespace-normalized text,
     * distinct — the unit for Jaccard / MinHash dedup. */
   def shingles(text: String, n: Int): Set[String] = {
