@@ -329,29 +329,58 @@ object Dedup {
     * are phase-shifted. Selected spans groupBy-count across docs;
     * output = spans appearing in ≥ minDocs distinct documents.
     *
-    * At scale: the explode is O(chars) rows but only ~1/guarantee of
-    * them survive selection before the exchange — the groupBy shuffles
-    * winnowed (span, doc) rows, ~2·window bytes each. The hash is md5
-    * (not xxhash64) so an external SQL engine can reproduce the
-    * selection bit-for-bit (lexicographic min over lowercase hex is
-    * engine-independent). */
+    * The winnow is per-document, so it runs ROW-LOCALLY in a narrow
+    * mapPartitions (one MessageDigest per partition) — the first cut
+    * ran it as explode + per-doc window function, which exchanged every
+    * window position in the corpus just to compute a doc-local minimum.
+    * Only the selected spans (≈ 1/guarantee of positions, locally
+    * deduped per doc) reach the groupBy exchange, ~window bytes each.
+    * The hash is md5 over UTF-8 bytes (not xxhash64) so an external SQL
+    * engine reproduces the selection bit-for-bit: unsigned-byte order
+    * on digests ≡ lexicographic order on their hex form. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = 40, guarantee: Int = 8,
       minDocs: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wdf = df.select(longId(df, idCol).as("id"),
+    val selected = df.select(longId(df, idCol).as("id"),
       normText(col(textCol)).as("t"))
-      .filter(length($"t") >= window)
-      .select($"id", posexplode(expr(
-        s"transform(sequence(1, length(t) - ${window - 1})," +
-          s" i -> substring(t, i, $window))")).as(Seq("pos", "span")))
-      .withColumn("h", md5($"span"))
-    val w = Window.partitionBy($"id").orderBy($"pos")
-      .rowsBetween(0, guarantee - 1)
-    wdf.withColumn("mn", min($"h").over(w))
-      .filter($"h" === $"mn")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          if (t == null || t.length < window) Iterator.empty
+          else {
+            val n = t.length - window + 1
+            val hs = new Array[Array[Byte]](n)
+            var i = 0
+            while (i < n) {
+              hs(i) = md.digest(t.substring(i, i + window)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              i += 1
+            }
+            // i is selected iff hs(i) = min over [i, i+g) — ties (runs
+            // of an identical span) select every tied position, exactly
+            // like `h = min(h) OVER (... g FOLLOWING)` in SQL
+            val uniq = scala.collection.mutable.LinkedHashSet.empty[String]
+            i = 0
+            while (i < n) {
+              var isMin = true
+              var j = i + 1
+              val end = math.min(i + guarantee, n)
+              while (isMin && j < end) {
+                if (java.util.Arrays.compareUnsigned(hs(j), hs(i)) < 0)
+                  isMin = false
+                j += 1
+              }
+              if (isMin) uniq += t.substring(i, i + window)
+              i += 1
+            }
+            uniq.iterator.map(sp => (id, sp))
+          }
+        }
+      }
+    selected.toDF("id", "span")
       .groupBy($"span")
       .agg(countDistinct($"id").as("n_docs"), min($"id").as("first_doc"))
       .filter($"n_docs" >= minDocs)
