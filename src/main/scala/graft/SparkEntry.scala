@@ -225,6 +225,31 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    "q14_promo_share" -> ((s, d) => {
+      // TPC-H Q14 shape over the part dimension: conditional revenue
+      // share by brand-type predicate. part broadcasts (dimension-sized
+      // at every SF); the measure aggregates map-side.
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) /
+          sum(rev), 4).as("promo_pct"),
+          count(lit(1)).as("n"))
+    }),
+    "q_supplier_nation" -> ((s, d) => {
+      // revenue by supplier nation: two broadcast dims chained onto the
+      // fact scan — the same star-join shape as q5 on the OTHER foreign
+      // key (l_suppkey), completing coverage of every fixture table.
+      val li = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     // ---------------- J: joins (SURVEY §2.6)
     "j1_broadcast_join" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -932,6 +957,10 @@ object SparkEntry {
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey ASC LIMIT 10",
     "q5_region_revenue" ->
       "SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY 1",
+    "q14_promo_share" ->
+      "SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct, count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey",
+    "q_supplier_nation" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY 1",
     "j1_broadcast_join" ->
       "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
     "j2_semi_join" ->
