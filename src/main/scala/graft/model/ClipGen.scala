@@ -159,24 +159,27 @@ object ClipGen {
     val day = 1 + ((block / 1200) % 28).toInt
     val id = f"${src.name}-$year%04d-$month%02d-$day%02d-a-i${(i % 10000).toInt}%04d"
 
-    // ---- gold decision + keep (documented rules over planted facts)
-    val trusted = sourceTrusted(src)
-    val origWrongAndCounted =
-      origLg != null && trusted && origLg != lang
+    // ---- gold decision + keep (documented rules over planted facts).
+    // orig_lg NEVER enters rules 2a/2b or voting (the reference strips
+    // "orig_lg" from self.lids at construction, EL:116 — the trusted
+    // pseudo-prediction only shapes the output orig_lg field), so gold
+    // decisions depend on the detectors and planted row kind alone.
     val (goldDecision, goldKeep, decidedLg) = kind match {
       case Undecodable => ("undecodable", false, null)
-      case EmptyText => ("dominant-by-len", false, src.dominant)
-      case Short =>
-        // no LID arrays (stage-1 skipped), but a trusted orig_lg becomes a
-        // pseudo-prediction, so rule 2a fires on the 1-element set; only
-        // without it does the cascade fall through to rule 2c (EL:657-682)
-        if (origLg != null && trusted) ("all", false, origLg)
+      case EmptyText =>
+        // null transcript → len = 0, which is FALSY in rule 2c's guard
+        // (EL:745-746) → falls through to voting (no predictions, ratio
+        // defaults 1.0) → empty votes → dominant-by-lowvote. A blank
+        // non-null transcript has 0 < len < 20 → rule 2c.
+        if (transcript == null) ("dominant-by-lowvote", false, src.dominant)
         else ("dominant-by-len", false, src.dominant)
+      case Short =>
+        // no LID arrays (stage-1 skipped) → rules 2a/2b see the empty
+        // set → rule 2c fires on 0 < len < 20
+        ("dominant-by-len", false, src.dominant)
       case NoiseText => (null, false, null) // lg depends on detector noise; keep gate is alpha < 0.5 either way
-      case SilentAudio =>
-        (if (origWrongAndCounted) "voting" else "all", false, lang)
-      case Fluent | FluentPii =>
-        (if (origWrongAndCounted) "voting" else "all", true, lang)
+      case SilentAudio => ("all", false, lang)
+      case Fluent | FluentPii => ("all", true, lang)
     }
     val goldScrubbed =
       if (goldKeep) Scrub.scrub(transcript).text else null

@@ -114,11 +114,18 @@ object Stage1b {
       if (ens != null && ens == lang) acc.bump(acc.lidSupp, k)
     }
 
-    // A9/A10
-    if (r.orig_lg != null && ens != null) {
+    // A9/A10 — orig_lg_total_decisions counts EVERY valid row carrying
+    // orig_lg (NS:532-534), whether or not the ensemble decided; support
+    // needs agreement, disagreement needs a non-null ensemble. The r2
+    // gate on `ens != null` under-counted the A10 denominator, which
+    // INFLATED overall_orig_lg_support and could flip a source across
+    // the 0.75 trust threshold.
+    if (r.orig_lg != null) {
       acc.origTotal += 1
-      if (r.orig_lg == ens) acc.origSupp += 1
-      else acc.bump(acc.disagree, r.orig_lg + "->" + ens)
+      if (ens != null) {
+        if (r.orig_lg == ens) acc.origSupp += 1
+        else acc.bump(acc.disagree, r.orig_lg + "->" + ens)
+      }
     }
   }
 

@@ -41,35 +41,41 @@ object Stage2 {
   /** The cascade — pure, unit-testable without Spark. */
   def decide(r: Stage1Row, stats: SourceStats, p: Params): DecisionRow = {
 
-    // ---- step 1: undecodable passthrough (img analog, EL:603-604)
+    // ---- step 1: undecodable passthrough (img analog, EL:603-604 —
+    // runs BEFORE rule 1, so orig_lg passes through ungated)
     if (!r.audio_ok) {
       return finish(r, stats, p, lg = null, decision = "undecodable",
-        votes = Array.empty)
+        votes = Array.empty, outOrig = r.orig_lg)
     }
 
     val tops = Votes.top1s(Stage1b.systemsOf(r))
 
     // ---- step 2: orig_lg gating (EL:606-655): trust iff
-    // overall_orig_lg_support > threshold; trusted orig becomes a
-    // pseudo-LID prediction with prob = lg_support["orig_lg"][lang] | 1e-5
+    // overall_orig_lg_support > threshold. In the REFERENCE the trusted
+    // pseudo-prediction is written into the item's orig_lg attr but can
+    // never reach rules 2a/2b or voting — get_best_lid and get_votes
+    // both iterate self.lids, from which "orig_lg" is stripped at
+    // construction (EL:116, 340, 379) and never re-added. Its only
+    // observable effect is the OUTPUT orig_lg field: null when
+    // untrusted, the original value when trusted (we keep the string
+    // form where the reference writes a 1-element array). The r1-r3a
+    // cascade here fed the pseudo-prediction into 2a/2b, which flipped
+    // decisions for trusted sources — fixed to reference semantics.
     val origTrusted = r.orig_lg != null &&
       stats.overall_orig_lg_support.exists(_ > p.thresholdConfidenceOrigLg)
-    val origPseudo: Option[Votes.Top1] =
-      if (origTrusted)
-        Some(Votes.Top1("orig_lg", r.orig_lg,
-          stats.lg_support.getOrElse("orig_lg", Map.empty)
-            .getOrElse(r.orig_lg, 1e-5)))
-      else None
+    val outOrig = if (origTrusted) r.orig_lg else null
 
-    val allLangs = (tops ++ origPseudo).map(_.lang).distinct.sorted
+    val allLangs = tops.map(_.lang).distinct.sorted
 
-    // ---- step 3: rule 2a "all" (EL:657-682)
+    // ---- step 3: rule 2a "all" (EL:657-682): all present top-1
+    // SYSTEM predictions (orig_lg is not a system) name one language
     if (allLangs.size == 1) {
-      return finish(r, stats, p, allLangs.head, "all", Array.empty)
+      return finish(r, stats, p, allLangs.head, "all", Array.empty,
+        outOrig)
     }
 
     // ---- step 4: rule 2b "all-but-impresso_ft" (EL:684-742)
-    val butFt = (tops.filterNot(_.lid == "impresso_ft") ++ origPseudo)
+    val butFt = tops.filterNot(_.lid == "impresso_ft")
       .map(_.lang).distinct
     if (butFt.size == 1) {
       val l = butFt.head
@@ -78,13 +84,17 @@ object Stage2 {
       val lenRatioOk = r.alphabetical_ratio.exists(a =>
         r.len * a >= p.minimalTextLength) // null-safe (quirk Q2)
       if (!Set("de", "fr", "en", "it").contains(l) && inEnsembleDist && lenRatioOk)
-        return finish(r, stats, p, l, "all-but-impresso_ft", Array.empty)
+        return finish(r, stats, p, l, "all-but-impresso_ft", Array.empty,
+          outOrig)
     }
 
-    // ---- step 5: rule 2c "dominant-by-len" (EL:744-758)
-    if (r.len < p.minimalTextLength) {
+    // ---- step 5: rule 2c "dominant-by-len" (EL:744-758): the
+    // reference guards with `if text_len and ...` — len == 0 is FALSY,
+    // so zero-length items skip 2c and fall through to voting (ending
+    // as dominant-by-lowvote with empty votes)
+    if (r.len > 0 && r.len < p.minimalTextLength) {
       return finish(r, stats, p, stats.dominant_language, "dominant-by-len",
-        Array.empty)
+        Array.empty, outOrig)
     }
 
     // ---- step 6: weighted voting (EL:346-551; quirk Q4: orig not a voter)
@@ -95,18 +105,20 @@ object Stage2 {
     // ---- step 7: low-vote fallbacks (EL:773-796)
     if (votes.isEmpty || votes.head.vote < p.minVotingScore) {
       return finish(r, stats, p, stats.dominant_language,
-        "dominant-by-lowvote", votes)
+        "dominant-by-lowvote", votes, outOrig)
     }
 
     // ---- step 8: "voting" (EL:798-808); tie-break already deterministic
     // (score desc, lang asc) per the FIXTURES.md contract
-    finish(r, stats, p, votes.head.lang, "voting", votes)
+    finish(r, stats, p, votes.head.lang, "voting", votes, outOrig)
   }
 
   /** Keep/drop fusion — gates in priority order; first failing gate is
-    * the drop reason (BASELINE.json.north_star). */
+    * the drop reason (BASELINE.json.north_star). `outOrig` is the
+    * rule-1-gated orig_lg (null when untrusted — EL:639). */
   private def finish(r: Stage1Row, stats: SourceStats, p: Params,
-      lg: String, decision: String, votes: Array[LangVote]): DecisionRow = {
+      lg: String, decision: String, votes: Array[LangVote],
+      outOrig: String): DecisionRow = {
     val dropReason: String =
       if (!r.audio_ok) "undecodable_audio"
       else if (r.audio_rms < p.audioRmsMin) "silent_audio"
@@ -120,7 +132,7 @@ object Stage2 {
       else null
     DecisionRow(
       clip_id = r.clip_id, source = r.source, year = r.year, len = r.len,
-      orig_lg = r.orig_lg, alphabetical_ratio = r.alphabetical_ratio,
+      orig_lg = outOrig, alphabetical_ratio = r.alphabetical_ratio,
       lg = lg, lg_decision = decision, votes = votes, ppl = r.ppl,
       keep = dropReason == null, drop_reason = dropReason,
       transcript = r.transcript, ts = Thresholds.FixedTs)

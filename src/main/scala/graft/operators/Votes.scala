@@ -38,11 +38,12 @@ object Votes {
       minProb: Double = Thresholds.MinimalLidProbabilityStage1b,
       minVoteScore: Double = Thresholds.MinimalVoteScore): Option[String] = {
 
+    // the orig_lg voter is added UNCONDITIONALLY in the reference
+    // (NS:399-406) — the admissibility and prob gates live only inside
+    // the LID-system loop (NS:407-431)
     val voters = tops.filter(t =>
       t.prob >= minProb && (admissible == null || admissible.contains(t.lang))) ++
-      (if (origLg != null && (admissible == null || admissible.contains(origLg)))
-        Seq(Top1("orig_lg", origLg, 1.0))
-      else Seq.empty)
+      (if (origLg != null) Seq(Top1("orig_lg", origLg, 1.0)) else Seq.empty)
 
     if (voters.isEmpty) return None
     val byLang = voters.groupBy(_.lang)
@@ -89,7 +90,12 @@ object Votes {
 
     val admissible = Option(stats.admissible_languages).map(_.toSet).orNull
 
-    if (alphabeticalRatio.forall(_ < alphaThreshold)) {
+    // a MISSING ratio defaults to 1.0 in the reference
+    // (`content_item.get("alphabetical_ratio", 1.0)`, EL:361-364) —
+    // stage-1-skipped rows therefore take the NORMAL voting path (and,
+    // having no predictions, end at empty votes → dominant-by-lowvote),
+    // not the degenerate dominant vote
+    if (alphabeticalRatio.getOrElse(1.0) < alphaThreshold) {
       // degenerate text => trust the source prior only (EL:360-372)
       return if (stats.dominant_language == null) Seq.empty
       else Seq(LangVote(stats.dominant_language, 1.0))

@@ -92,9 +92,15 @@ class VotesSpec extends AnyFunSuite {
     val v = Votes.stage2Votes(
       tops(("impresso_ft", "fr", 0.99)), Some(0.49), stats())
     assert(v.toSeq == Seq(LangVote("de", 1.0)))
-    // absent ratio behaves the same (null-safe Q2)
+    // an ABSENT ratio defaults to 1.0 in the reference (EL:361-364):
+    // the degenerate branch does NOT fire — a stage-1-skipped row takes
+    // the normal path and, with no predictions, ends with empty votes
     val v2 = Votes.stage2Votes(tops(), None, stats())
-    assert(v2.toSeq == Seq(LangVote("de", 1.0)))
+    assert(v2.isEmpty)
+    // and with predictions present the normal loop runs
+    val v3 = Votes.stage2Votes(
+      tops(("impresso_ft", "fr", 0.99)), None, stats())
+    assert(v3.nonEmpty && v3.head.lang == "fr")
   }
 
   test("stage2 votes: lb boost x3 for impresso_ft (EL:473-485)") {
@@ -153,14 +159,31 @@ class CascadeSpec extends AnyFunSuite {
     assert(r.lg == "de" && r.lg_decision == "all" && r.keep)
   }
 
-  test("orig gating: untrusted orig is ignored (EL:606-655)") {
+  test("orig gating: pseudo-prediction never reaches 2a/2b; output gated (EL:116,639)") {
     val r = Stage2.decide(row(preds = all("de"), orig = "fr"),
       st(origSupport = Some(0.5)), p)
     assert(r.lg == "de" && r.lg_decision == "all")
-    // trusted wrong orig breaks unanimity -> voting
+    assert(r.orig_lg == null) // untrusted → output orig nulled (EL:639)
+    // trusted wrong orig does NOT break unanimity — "orig_lg" is
+    // stripped from self.lids at construction (EL:116), so get_best_lid
+    // can never see the pseudo-prediction; its only effect is the
+    // output orig_lg field surviving
     val r2 = Stage2.decide(row(preds = all("de"), orig = "fr"),
       st(origSupport = Some(0.9)), p)
-    assert(r2.lg == "de" && r2.lg_decision == "voting")
+    assert(r2.lg == "de" && r2.lg_decision == "all")
+    assert(r2.orig_lg == "fr") // trusted → carried through
+  }
+
+  test("rule 2c: len == 0 is FALSY and skips to dominant-by-lowvote (EL:745)") {
+    // no_text row (stage-1 skipped, no predictions, no ratio): the
+    // reference's `if text_len and text_len < minimal` guard skips 2c,
+    // voting sees ratio-default 1.0 and zero voters → empty votes
+    val r = Stage2.decide(row(preds = Map.empty, len = 0, ratio = None), st(), p)
+    assert(r.lg_decision == "dominant-by-lowvote", r.lg_decision)
+    assert(r.votes.isEmpty && r.lg == "de")
+    // 0 < len < 20 still takes 2c
+    val r2 = Stage2.decide(row(preds = Map.empty, len = 5, ratio = None), st(), p)
+    assert(r2.lg_decision == "dominant-by-len")
   }
 
   test("orig trust threshold is strict > 0.75 (EL:853-858)") {

@@ -81,6 +81,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("A9/A10: orig_lg_total counts undecided-ensemble rows (NS:532-534)") {
+    import VotesFixtures._
+    import spark.implicits._
+    // row 1: one lone system + orig -> every voter scores 1 < 1.5 ->
+    // ensemble undecided; reference still counts it in the denominator
+    // len 300 x ratio 0.8 = 240 clears the F4 stats gate (>= 200)
+    val rows = Seq(
+      row(preds = Map("impresso_ft" -> "fr"), orig = "de", len = 300),
+      row(preds = all("de"), orig = "de", len = 300),
+      row(preds = all("de"), orig = "fr", len = 300))
+    val st = Stage1b(spark, spark.createDataset(rows)).collect().head
+    assert(st.orig_lg_total_decisions == 3L)
+    assert(math.abs(st.overall_orig_lg_support.get - 1.0 / 3) < 1e-9,
+      st.overall_orig_lg_support.toString)
+    assert(st.orig_lg_ensemble_disagreements == Map("fr->de" -> 1L))
+  }
+
   test("keep/drop F1 >= 0.99 vs gold (BASELINE.md target)") {
     val f1 = Eval.keepF1(spark, result.decisions, goldDs)
     info(f1.toString)
