@@ -36,9 +36,14 @@ object Checkpoint {
   def manifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = s"$dir/manifest"
+    // ONLY a missing path means "nothing completed yet" — a corrupt or
+    // transiently-unreadable manifest must FAIL the run, not silently
+    // report zero finished buckets (which would reprocess the corpus
+    // and append duplicate manifest rows)
     try spark.read.parquet(path)
     catch {
-      case _: Exception =>
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getErrorClass == "PATH_NOT_FOUND" =>
         spark.emptyDataset[ManifestRow].toDF()
     }
   }

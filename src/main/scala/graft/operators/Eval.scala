@@ -12,23 +12,25 @@ import graft.model._
   * AQE broadcasts it). */
 object Eval {
 
-  /** Per-language accuracy with the `_ALL_` rollup bucket (EV:94-104). */
+  /** Per-language accuracy with the `_ALL_` rollup bucket (EV:94-104).
+    * ONE join + ONE rollup aggregation — the `_ALL_` row is the rollup
+    * grand total, not a second scan of the join (the union-of-aggs
+    * shape executes the join twice; same rewrite as the a15 queries).
+    * `gold_lg0` duplicates the grouping column so the aggregate
+    * survives expand-projection (NULL on the rollup row). */
   def langAccuracy(spark: SparkSession, decisions: Dataset[DecisionRow],
       gold: Dataset[GoldRow]): DataFrame = {
     import spark.implicits._
     val joined = decisions.select($"clip_id", $"lg")
       .join(gold.filter($"gold_lg".isNotNull).select($"clip_id", $"gold_lg"),
         "clip_id")
-    val perLang = joined.groupBy($"gold_lg").agg(
-      sum(when($"lg" === $"gold_lg", 1L).otherwise(0L)).as("correct"),
+      .withColumn("gold_lg0", $"gold_lg")
+    joined.rollup($"gold_lg").agg(
+      sum(when($"lg" === $"gold_lg0", 1L).otherwise(0L)).as("correct"),
       count(lit(1)).as("total"))
-    val all = joined.agg(
-      sum(when($"lg" === $"gold_lg", 1L).otherwise(0L)).as("correct"),
-      count(lit(1)).as("total"))
-      .withColumn("gold_lg", lit("_ALL_"))
-      .select($"gold_lg", $"correct", $"total")
-    perLang.union(all)
-      .withColumn("accuracy", round($"correct" / $"total", 4))
+      .select(coalesce($"gold_lg", lit("_ALL_")).as("gold_lg"),
+        $"correct", $"total",
+        round($"correct" / $"total", 4).as("accuracy"))
       .orderBy($"gold_lg")
   }
 

@@ -65,24 +65,29 @@ object StreamingFilter {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val ts = evs.map(_.ts_us).toArray
-          java.util.Arrays.sort(ts)
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          var i = 0
-          while (i < ts.length) {
-            val t = ts(i)
-            cur = cur match {
-              case Some(s) if t - s.last_us <= gapUs =>
-                Some(SessionState(s.start_us, math.max(s.last_us, t), s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(uid, s.start_us, s.last_us, s.n)
-                Some(SessionState(t, t, 1))
-              case None => Some(SessionState(t, t, 1))
-            }
-            i += 1
+          // interval-merge formulation so CROSS-BATCH LATE events are
+          // correct: a batch event far BEFORE the stored session must
+          // not be absorbed into it (`t - last <= gap` is trivially true
+          // for any t <= last) — it forms its own earlier session. All
+          // candidate sessions (stored + per-event singletons) are
+          // sorted by start and adjacent ones within the gap merge;
+          // every merged session except the latest has a later event
+          // beyond its gap, so it closes — identical output to the
+          // in-order fold for in-order input.
+          val sess = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          state.getOption.foreach(sess += _)
+          evs.foreach(e => sess += SessionState(e.ts_us, e.ts_us, 1))
+          val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+          sess.sortBy(s => (s.start_us, s.last_us)).foreach { s =>
+            if (merged.nonEmpty && s.start_us - merged.last.last_us <= gapUs) {
+              val m = merged.last
+              merged(merged.length - 1) = SessionState(m.start_us,
+                math.max(m.last_us, s.last_us), m.n + s.n)
+            } else merged += s
           }
-          cur.foreach(state.update)
+          val closed = merged.init.map(m =>
+            SessionOut(uid, m.start_us, m.last_us, m.n))
+          state.update(merged.last)
           closed.iterator
       }
   }
@@ -129,11 +134,14 @@ object StreamingFilter {
   def streamingDedup(clips: Dataset[ClipRow]): Dataset[ClipRow] = {
     import clips.sparkSession.implicits._
     clips
-      // null-transcript clips are NOT duplicates of each other: they key
-      // by their own id so none is swallowed (the quality gates judge
-      // them later)
+      // null OR blank transcripts are NOT duplicates of each other: they
+      // key by their own id so none is swallowed (the quality gates
+      // judge them later) — same contract as Dedup.exact, which guards
+      // on the NORMALIZED length, not just null
       .groupByKey(c =>
-        if (c.transcript == null) "id:" + c.clip_id else digest(c.transcript))
+        if (c.transcript == null || c.transcript.trim.isEmpty)
+          "id:" + c.clip_id
+        else digest(c.transcript))
       .flatMapGroupsWithState[Boolean, ClipRow](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[ClipRow], seen: GroupState[Boolean]) =>
@@ -164,8 +172,12 @@ object StreamingFilter {
   def streamingDedupBounded(df: DataFrame, idCol: String, textCol: String,
       tsCol: String, horizon: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // blank text md5s to a non-null digest — the length guard (not a
+    // bare coalesce) keeps blank rows keyed by their own id, matching
+    // Dedup.exact and streamingDedup
     df.withColumn("digest",
-      coalesce(md5(norm), concat(lit("id:"), col(idCol))))
+      when(length(norm) > 0, md5(norm))
+        .otherwise(concat(lit("id:"), col(idCol))))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("digest")
       .drop("digest")

@@ -402,6 +402,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Seq("a1", "a3", "b1", "c1"), kept.toString)
   }
 
+  test("sessionize: cross-batch LATE event forms its own earlier session") {
+    import graft.streaming.{SessionEvent, SessionOut, StreamingFilter}
+    val min = 60L * 1000000L
+    val gap = 30 * min
+    val tmp = java.nio.file.Files.createTempDirectory("latesess").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ck"
+    def drain(): Unit = {
+      val q = StreamingFilter.sessionize(
+        spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[SessionEvent]].schema)
+          .parquet(in).as[SessionEvent], gap)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1 opens a session at [600, 610] min
+    Seq(SessionEvent(1L, 600 * min), SessionEvent(1L, 610 * min))
+      .toDS().write.mode("append").parquet(in); drain()
+    // batch 2: TWO late events hours before the stored session (one
+    // cluster) + an in-gap extension of the live session. The old
+    // `t - last <= gap` check absorbed late events into the stored
+    // session (negative delta passes); they must instead form their own
+    // earlier session, which closes immediately (a later one exists).
+    Seq(SessionEvent(1L, 360 * min), SessionEvent(1L, 365 * min),
+      SessionEvent(1L, 620 * min))
+      .toDS().write.mode("append").parquet(in); drain()
+    val closed = spark.read.parquet(out).as[SessionOut].collect().toSeq
+    assert(closed == Seq(SessionOut(1L, 360 * min, 365 * min, 2)),
+      closed.toString)
+  }
+
   test("flatMapGroupsWithState sessions span micro-batch boundaries") {
     import graft.streaming.{SessionEvent, SessionOut, StreamingFilter}
     val min = 60L * 1000000L // a minute in micros
