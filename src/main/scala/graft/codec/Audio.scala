@@ -111,8 +111,18 @@ object Audio {
     if (bytes == null) return null
     codec match {
       case "pcm_s16le" => pcm16Decode(bytes)
-      case "ulaw" => bytes.map(ulawDecodeSample)
-      case "alaw" => bytes.map(alawDecodeSample)
+      case "ulaw" =>
+        // explicit loop: .map boxes every sample (Function1 is not
+        // specialized on Byte=>Short) and decode IS the per-row hot path
+        val out = new Array[Short](bytes.length)
+        var i = 0
+        while (i < bytes.length) { out(i) = ulawDecodeSample(bytes(i)); i += 1 }
+        out
+      case "alaw" =>
+        val out = new Array[Short](bytes.length)
+        var i = 0
+        while (i < bytes.length) { out(i) = alawDecodeSample(bytes(i)); i += 1 }
+        out
       case _ => null
     }
   }
@@ -204,6 +214,7 @@ object Audio {
   /** Frame sampling: every `stride`-th sample (cheap downsample for
     * feature extraction; anti-aliasing is out of scope for features). */
   def frameSample(samples: Array[Short], stride: Int): Array[Short] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     if (samples == null) return null
     val out = new Array[Short]((samples.length + stride - 1) / stride)
     var i = 0

@@ -351,23 +351,23 @@ object Fft {
   def vad(samples: Array[Short], frameLen: Int = 256,
           threshold: Double = 0.01): (Double, Int, Int) = {
     if (samples == null || samples.length == 0) return (0.0, 0, 0)
-    val nFrames = samples.length / frameLen
-    if (nFrames == 0) {
-      val r = Audio.rms(samples) / 32768.0
-      return if (r > threshold) (1.0, 0, samples.length) else (0.0, 0, 0)
-    }
+    // ceil division: the trailing PARTIAL frame is examined too — with
+    // floor framing, up to frameLen-1 active trailing samples were
+    // classified silent and trimSilence cut genuine speech
+    val nFrames = (samples.length + frameLen - 1) / frameLen
     var active = 0; var first = -1; var last = -1
     var f = 0
     while (f < nFrames) {
       var s = 0.0
       var i = f * frameLen
-      val end = i + frameLen
+      val end = math.min(i + frameLen, samples.length)
+      val n = end - i
       while (i < end) { val v = samples(i).toDouble; s += v * v; i += 1 }
-      val r = math.sqrt(s / frameLen) / 32768.0
+      val r = math.sqrt(s / n) / 32768.0
       if (r > threshold) {
         active += 1
         if (first < 0) first = f * frameLen
-        last = f * frameLen + frameLen
+        last = end
       }
       f += 1
     }
@@ -375,9 +375,11 @@ object Fft {
     else (active.toDouble / nFrames, first, last)
   }
 
-  /** Trim leading/trailing silence per `vad`; all-silent → empty. */
+  /** Trim leading/trailing silence per `vad`; all-silent → empty;
+    * null-tolerant like the rest of the codec surface. */
   def trimSilence(samples: Array[Short], frameLen: Int = 256,
                   threshold: Double = 0.01): Array[Short] = {
+    if (samples == null) return null
     val (_, from, until) = vad(samples, frameLen, threshold)
     java.util.Arrays.copyOfRange(samples, from, until)
   }

@@ -54,7 +54,7 @@ object LangCorpus {
       "regierung", "gëschter", "haut", "hunn", "gëtt", "sech", "och",
       "no", "iwwer", "joer", "stad", "land", "leit", "aarbecht",
       "bericht", "säit", "tëschent", "wärend", "géint", "ëmmer",
-      "lëtzebuergesch", "wou", "waren", "sinn", "dës", "hir", "och",
+      "lëtzebuergesch", "wou", "waren", "sinn", "dës", "hir", "awer",
       "zënter", "gemeng", "conseil", "versammlung", "ëffentlech", "kéng"))
 
   def wordsOf(lang: String): Vector[String] = vocab(lang)

@@ -24,10 +24,15 @@ object Scrub {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
 
   // International-ish phone numbers: optional +, then 3-5 groups of 1-4
-  // digits with mandatory [ .-] separators. Possessive quantifiers keep
-  // matching linear-time on adversarial digit floods (noise rows).
+  // digits with mandatory [ .-] separators. GREEDY (not possessive)
+  // quantifiers: a possessive variant cannot give back groups/digits
+  // when the trailing lookahead fails, so "+41 22 345 6789012" (a
+  // number followed by extra digits) escaped scrubbing entirely — a
+  // measured PII leak. Backtracking here is bounded (<= 4 groups x 3
+  // widths per start), so matching stays effectively linear even on
+  // digit floods.
   private val Phone: Pattern = Pattern.compile(
-    "(?<![\\w.+-])\\+?+\\d{1,4}+(?:[ .-]\\d{2,4}+){2,4}+(?![\\w-])")
+    "(?<![\\w.+-])\\+?\\d{1,4}(?:[ .-]\\d{2,4}){2,4}(?![\\w-])")
 
   // ID numbers: SSN-style NNN-NN-NNNN, IBAN-style CCNN AAAA ... (>= 12
   // alnum after country code), and long bare digit runs (>= 9).

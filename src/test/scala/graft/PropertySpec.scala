@@ -72,6 +72,32 @@ class PropertySpec extends AnyFunSuite {
   private val Codes = Set("all", "all-but-impresso_ft", "dominant-by-len",
     "dominant-by-lowvote", "voting", "undecodable")
 
+  test("phone scrub catches numbers followed by extra digits (possessive leak)") {
+    import graft.operators.Scrub
+    // the possessive pattern could not give back groups when the
+    // trailing lookahead failed, so this number escaped entirely
+    val r = Scrub.scrub("call +41 22 345 6789012 now")
+    assert(r.phones >= 1, r.toString)
+    assert(!r.text.contains("+41 22 345"), r.text)
+    // ordinary matches unchanged
+    val r2 = Scrub.scrub("call +41 22 345 67 89 now")
+    assert(r2.phones == 1 && r2.text == s"call ${Scrub.PhoneTag} now")
+    // clean prose untouched
+    assert(Scrub.scrub("ein text ohne nummern").text == "ein text ohne nummern")
+  }
+
+  test("vad examines the trailing partial frame; trimSilence is null-tolerant") {
+    import graft.codec.Fft
+    // 256 silent + 44 loud samples: floor framing saw only the silent
+    // full frame and trimmed ALL the speech
+    val pcm = new Array[Short](300)
+    (256 until 300).foreach(i => pcm(i) = 20000)
+    val (ratio, from, until) = Fft.vad(pcm)
+    assert(until == 300 && from == 256, s"($ratio, $from, $until)")
+    assert(Fft.trimSilence(pcm).length == 44)
+    assert(Fft.trimSilence(null) == null)
+  }
+
   test("decision function is total: one code per row, keep <=> no drop reason") {
     val stats = VotesFixtures.st()
     forAll(rowGen) { r =>
