@@ -848,12 +848,14 @@ object SparkEntry {
         if (pcm == null)
           (c.clip_id, false, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0.0, 0.0)
         else {
-          val (cen, roll, flat, bw) = graft.codec.Fft.spectralFeatures(pcm, c.sr_hz)
+          // ONE framing/FFT pass feeds every spectral stat (the separate
+          // features/dominant/flux calls re-ran it three times per row)
+          val sp = graft.codec.Fft.spectralBundle(pcm, c.sr_hz)
           val (ratio, from, until) = graft.codec.Fft.vad(pcm)
-          (c.clip_id, true, rt(cen, 1), rt(roll, 1), rt(flat, 4), rt(bw, 1),
+          (c.clip_id, true, rt(sp.centroidHz, 1), rt(sp.rolloffHz, 1),
+            rt(sp.flatness, 4), rt(sp.bandwidthHz, 1),
             rt(ratio, 4), until - from,
-            rt(graft.codec.Fft.dominantFrequency(pcm, c.sr_hz), 1),
-            rt(graft.codec.Fft.spectralFlux(pcm), 4))
+            rt(sp.dominantHz, 1), rt(sp.flux, 4))
         }
       }.toDF("clip_id", "decoded", "centroid_hz", "rolloff_hz", "flatness",
         "bandwidth_hz", "speech_ratio", "voiced_samples", "dominant_hz",

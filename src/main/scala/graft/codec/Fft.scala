@@ -86,30 +86,84 @@ object Fft {
     */
   def spectralFeatures(samples: Array[Short], sampleRate: Int,
                        frameLen: Int = 1024): (Double, Double, Double, Double) = {
+    val s = spectralBundle(samples, sampleRate, frameLen)
+    (s.centroidHz, s.rolloffHz, s.flatness, s.bandwidthHz)
+  }
+
+  /** Every spectral statistic of a clip from ONE framing pass. The
+    * standalone spectralFeatures / dominantFrequency / spectralFlux
+    * delegate here (identical reductions over the same per-frame
+    * spectra) — calling all three separately used to re-run the
+    * dominant O(frames·frameLen·log frameLen) FFT accumulation three
+    * times per row; the pipeline's spectral query now pays it once. */
+  final case class Spectral(
+      centroidHz: Double, rolloffHz: Double, flatness: Double,
+      bandwidthHz: Double, dominantHz: Double, flux: Double)
+
+  def spectralBundle(samples: Array[Short], sampleRate: Int,
+      frameLen: Int = 1024): Spectral = {
     require((frameLen & (frameLen - 1)) == 0, "frameLen must be a power of 2")
     if (samples == null || samples.length < frameLen)
-      return (0.0, 0.0, 1.0, 0.0)
+      return Spectral(0.0, 0.0, 1.0, 0.0, 0.0, 0.0)
     val hop = frameLen / 2
     val nBins = frameLen / 2 + 1
-    val acc = new Array[Double](nBins)
-    var start = 0; var frames = 0
+    val sum = new Array[Double](nBins) // raw magnitude sums
+    val prev = new Array[Double](nBins) // L1-normalized previous frame
+    var start = 0; var frames = 0; var flux = 0.0
     val frame = new Array[Double](frameLen)
     while (start + frameLen <= samples.length) {
       var i = 0
       while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
       val mag = magnitudeSpectrum(frame)
       var b = 0
-      while (b < nBins) { acc(b) += mag(b); b += 1 }
+      while (b < nBins) { sum(b) += mag(b); b += 1 }
+      // flux: L1-normalize the frame in place AFTER accumulating sums
+      var l1 = 0.0
+      i = 0
+      while (i < nBins) { l1 += mag(i); i += 1 }
+      if (l1 > 1e-12) {
+        i = 0
+        while (i < nBins) { mag(i) /= l1; i += 1 }
+      }
+      if (frames > 0) {
+        var d = 0.0
+        i = 0
+        while (i < nBins) {
+          val diff = mag(i) - prev(i); d += diff * diff; i += 1
+        }
+        flux += math.sqrt(d)
+      }
+      System.arraycopy(mag, 0, prev, 0, nBins)
       frames += 1
       start += hop
     }
-    var b = 0
-    while (b < nBins) { acc(b) /= frames; b += 1 }
+    val meanFlux = if (frames < 2) 0.0 else flux / (frames - 1)
+
+    // ---- dominant frequency: FFT peak over the raw sums (scale-
+    // invariant parabolic interpolation, so sums ≡ means bit-for-bit
+    // in the delta ratio)
+    var pk = 1
+    var b = 2
+    while (b < nBins - 1) { if (sum(b) > sum(pk)) pk = b; b += 1 }
+    val dominant =
+      if (sum(pk) <= 1e-12) 0.0
+      else {
+        val a = sum(pk - 1); val c = sum(pk + 1); val m0 = sum(pk)
+        val denom = a - 2 * m0 + c
+        val delta = if (math.abs(denom) < 1e-30) 0.0 else 0.5 * (a - c) / denom
+        (pk + delta) * sampleRate.toDouble / frameLen
+      }
+
+    // ---- averaged-spectrum reductions (centroid/rolloff/flatness/bw)
+    val acc = new Array[Double](nBins)
+    b = 0
+    while (b < nBins) { acc(b) = sum(b) / frames; b += 1 }
     val binHz = sampleRate.toDouble / frameLen
     var sumMag = 0.0; var sumF = 0.0
     b = 0
     while (b < nBins) { sumMag += acc(b); sumF += acc(b) * b * binHz; b += 1 }
-    if (sumMag <= 1e-12) return (0.0, 0.0, 1.0, 0.0)
+    if (sumMag <= 1e-12)
+      return Spectral(0.0, 0.0, 1.0, 0.0, dominant, meanFlux)
     val centroid = sumF / sumMag
     // rolloff at 85% of total energy (power, not magnitude)
     var totPow = 0.0
@@ -136,7 +190,7 @@ object Fft {
       b += 1
     }
     val bandwidth = math.sqrt(sumVar / sumMag)
-    (centroid, rolloff, flatness, bandwidth)
+    Spectral(centroid, rolloff, flatness, bandwidth, dominant, meanFlux)
   }
 
   /** Time-averaged, L2-normalized band-energy vector of a clip — the
@@ -200,39 +254,8 @@ object Fft {
     * non-stationarity signal (≈0 for steady tones, large for content
     * whose spectrum moves). Normalizing each frame first makes the
     * measure volume-invariant. 0.0 for fewer than two frames. */
-  def spectralFlux(samples: Array[Short], frameLen: Int = 1024): Double = {
-    if (samples == null || samples.length < frameLen + frameLen / 2) return 0.0
-    val nBins = frameLen / 2 + 1
-    val frame = new Array[Double](frameLen)
-    val prev = new Array[Double](nBins)
-    var start = 0; var frames = 0; var flux = 0.0
-    while (start + frameLen <= samples.length) {
-      var i = 0
-      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
-      val mag = magnitudeSpectrum(frame)
-      var sum = 0.0
-      i = 0
-      while (i < nBins) { sum += mag(i); i += 1 }
-      if (sum > 1e-12) {
-        i = 0
-        while (i < nBins) { mag(i) /= sum; i += 1 }
-      }
-      if (frames > 0) {
-        var d = 0.0
-        i = 0
-        while (i < nBins) {
-          val diff = mag(i) - prev(i)
-          d += diff * diff
-          i += 1
-        }
-        flux += math.sqrt(d)
-      }
-      System.arraycopy(mag, 0, prev, 0, nBins)
-      frames += 1
-      start += frameLen / 2
-    }
-    if (frames < 2) 0.0 else flux / (frames - 1)
-  }
+  def spectralFlux(samples: Array[Short], frameLen: Int = 1024): Double =
+    spectralBundle(samples, sampleRate = 1, frameLen).flux // sr unused by flux
 
   /** Dominant frequency via FFT peak with quadratic (parabolic)
     * interpolation over the time-averaged magnitude spectrum — the
@@ -242,27 +265,7 @@ object Fft {
     * at 8 kHz / 1024-point frames. 0.0 for silent/too-short input. */
   def dominantFrequency(samples: Array[Short], sampleRate: Int,
                         frameLen: Int = 1024): Double = {
-    if (samples == null || samples.length < frameLen) return 0.0
-    val nBins = frameLen / 2 + 1
-    val acc = new Array[Double](nBins)
-    val frame = new Array[Double](frameLen)
-    var start = 0
-    while (start + frameLen <= samples.length) {
-      var i = 0
-      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
-      val mag = magnitudeSpectrum(frame)
-      var b = 0
-      while (b < nBins) { acc(b) += mag(b); b += 1 }
-      start += frameLen / 2
-    }
-    var pk = 1
-    var b = 2
-    while (b < nBins - 1) { if (acc(b) > acc(pk)) pk = b; b += 1 }
-    if (acc(pk) <= 1e-12) return 0.0
-    val a = acc(pk - 1); val c = acc(pk + 1); val m = acc(pk)
-    val denom = a - 2 * m + c
-    val delta = if (math.abs(denom) < 1e-30) 0.0 else 0.5 * (a - c) / denom
-    (pk + delta) * sampleRate.toDouble / frameLen
+    spectralBundle(samples, sampleRate, frameLen).dominantHz
   }
 
   // ------------------------------------------------------------ mel/MFCC
