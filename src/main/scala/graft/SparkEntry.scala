@@ -44,17 +44,31 @@ object SparkEntry {
 
   // Shared pipeline run — the pipeline_* queries expose the clip-
   // pipeline stages; one run feeds all of them. Keyed by the run's
-  // ACTUAL inputs (corpus size, layout) so a second configuration can
-  // never alias the first one's cached result.
+  // ACTUAL inputs (corpus size, layout) AND the session identity: a
+  // cached Result holds Datasets bound to one SparkContext, and a
+  // second session in the same JVM (test suites) must never receive
+  // frames from a possibly-stopped first session.
   private val pipeCache =
-    scala.collection.mutable.HashMap.empty[(Long, Int), Pipeline.Result]
+    scala.collection.mutable.HashMap.empty[(Int, Long, Int), Pipeline.Result]
   private def pipe(s: SparkSession, n: Long = 2000L,
       partitions: Int = 8): Pipeline.Result = synchronized {
-    pipeCache.getOrElseUpdate((n, partitions), {
+    pipeCache.getOrElseUpdate((System.identityHashCode(s), n, partitions), {
       val clips = Pipeline.clips(s, n, partitions = partitions)
       Pipeline.run(s, clips)
     })
   }
+
+  // Session-keyed broadcast cache: the model-backed queries (lang
+  // segments, ppl buckets, BPE) used to create a FRESH Broadcast of the
+  // model bundle on every invocation and never destroy it — a long
+  // session accumulated undestroyed broadcast blocks. One broadcast per
+  // (session, key) matches Stage1's broadcast-once pattern.
+  private val bcCache = scala.collection.mutable.HashMap.empty[(Int, String), Any]
+  private def cachedBc[T](s: SparkSession, key: String)(mk: => T): T =
+    synchronized {
+      bcCache.getOrElseUpdate((System.identityHashCode(s), key), mk)
+        .asInstanceOf[T]
+    }
 
   /** Flagship: end-to-end keep/drop decisions on a synthesized clip
     * corpus (driver smoke-checks rows > 0). */
@@ -641,7 +655,8 @@ object SparkEntry {
       // ungated, 29% with a one-detector prob gate, 1% gated on
       // agreement (measured at sf0.001).
       import s.implicits._
-      val bc = s.sparkContext.broadcast(graft.lid.LidModels.default)
+      val bc = cachedBc(s, "models")(
+        s.sparkContext.broadcast(graft.lid.LidModels.default))
       t(s, d, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -681,8 +696,8 @@ object SparkEntry {
       // (the LM is not SQL-expressible); tier ordering proven below by
       // construction of ntile.
       import s.implicits._
-      val lm = graft.lid.LidModels.default.charLm
-      val bcLm = s.sparkContext.broadcast(lm)
+      val bcLm = cachedBc(s, "charlm")(
+        s.sparkContext.broadcast(graft.lid.LidModels.default.charLm))
       val scored = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
         .as[(Long, String, String)]
@@ -722,11 +737,15 @@ object SparkEntry {
       // per token — a standard quality/fertility signal. Rows-only
       // (BPE is not SQL-expressible); algorithm correctness in BpeSpec.
       import s.implicits._
-      val sample = t(s, d, "documents").select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id")).limit(100)
-        .collect().map(_.getString(1))
-      val rank = graft.lid.Bpe.ranks(graft.lid.Bpe.train(sample, 200))
-      val bc = s.sparkContext.broadcast(rank)
+      val bc = cachedBc(s, "bpe:" + d) {
+        // bounded deterministic driver-side training sample — inside the
+        // cache block so repeat invocations skip the collect too
+        val sample = t(s, d, "documents").select(col("doc_id"), col("text"))
+          .orderBy(col("doc_id")).limit(100)
+          .collect().map(_.getString(1))
+        s.sparkContext.broadcast(
+          graft.lid.Bpe.ranks(graft.lid.Bpe.train(sample, 200)))
+      }
       t(s, d, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>

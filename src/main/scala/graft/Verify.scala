@@ -15,11 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any PREVIOUS run's output for this query — leaving it
+        // would let the oracle compare validate stale results as a pass
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists) deleteRec(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -58,10 +58,20 @@ object Similarity {
     (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
 
-  /** Sign-sketch bucket id of a vector under `planes` hyperplanes. */
+  /** Sign-sketch bucket id of a vector under `planes` hyperplanes.
+    * LOUD on a dim mismatch: vec_dot returns NULL when the vector's
+    * length differs from `dim`, and `when(null >= 0)` would fall to 0
+    * for EVERY plane — every row in bucket 0, i.e. LSH silently
+    * degenerating to an O(n²) single-bucket join. raise_error instead
+    * (same fail-loudly policy as Dedup's integral-id guard). */
   def sketchCol(vec: Column, dim: Int, planes: Int): Column = {
+    val checked = when(vec.isNull, vec) // null vec stays null-tolerant
+      .when(size(vec) === dim, vec)
+      .otherwise(raise_error(
+        concat(lit(s"sketchCol: expected $dim-dim vector, got "),
+          size(vec).cast("string"))))
     val bits: Seq[Column] = (0 until planes).map { p =>
-      val dot = graft.functions.VectorOps.dot(vec,
+      val dot = graft.functions.VectorOps.dot(checked,
         array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }

@@ -28,13 +28,19 @@ object Stage1 {
       roundNDigits: Int = Thresholds.RoundNDigits)
 
   /** Parse source/year from the clip id (P5: source = id[:-19],
-    * year = id[-18:-14] — lib/impresso_lid_eval.py:81-84). */
+    * year = id[-18:-14] — lib/impresso_lid_eval.py:81-84). Python slice
+    * semantics for short/malformed ids: `id[:-19]` and `id[-18:-14]`
+    * both yield "" when the id is too short — NOT the whole id / null —
+    * so every malformed id lands in the single "" source bucket exactly
+    * as the reference's stats would group it. */
   def parseSource(clipId: String): String =
-    if (clipId == null || clipId.length < 19) clipId
+    if (clipId == null) null
+    else if (clipId.length < 19) ""
     else clipId.substring(0, clipId.length - 19)
 
   def parseYear(clipId: String): String =
-    if (clipId == null || clipId.length < 18) null
+    if (clipId == null) null
+    else if (clipId.length < 18) ""
     else clipId.substring(clipId.length - 18, clipId.length - 14)
 
   /** Pure per-row function — unit-testable without Spark. */
@@ -83,7 +89,7 @@ object Stage1 {
         safe(models.langdetectNb.predict),
         safe(models.linguaRank.predict),
         safe(models.impressoLp.predict),
-        Some(TextStats.roundTo(models.charLm.perplexity(text), 3)),
+        Some(TextStats.roundTo(models.charLm.perplexity(text), p.roundNDigits)),
         audioOk, rms, if (pcm == null) 0 else pcm.length,
         clip.transcript, Thresholds.FixedTs, Thresholds.Stage1Version)
     }
