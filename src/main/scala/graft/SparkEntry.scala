@@ -402,6 +402,14 @@ object SparkEntry {
       Dedup.embeddingCosine(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, anchorMod = 10L)),
     "dedup_embedding_lsh" -> ((s, d) => // full-corpus scale path; rows-only
+      // NOTE on the 0.4 threshold: sign-sketch buckets are designed for
+      // NEAR-DUP similarity (cos ≈ 1, where sketches differ ≤1 bit and
+      // multi-probe guarantees recall — DedupSpec proves it on planted
+      // copies); at cos 0.4 the per-pair bucket-collision probability is
+      // (1 - θ/π)^planes ≈ 0.03, and measured recall vs the exact
+      // all-pairs set is 8/59 at sf0.01 — the sketch is a low-recall
+      // sampler down there BY DESIGN, which is why the tier is rows-only
+      // and the exact anchored/verified tiers carry the oracle checks.
       Dedup.embeddingCosineLsh(t(s, d, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.4, planes = 8)),
     "sim_norms" -> ((s, d) => {
