@@ -556,6 +556,9 @@ object Dedup {
       // are already at fixpoint after the initial least(id, min nbr),
       // so the jump there is pure overhead; deep chains still halve
       // from round 2 on.
+      // LAZY checkpoint: the labelSum aggregate right below is the
+      // materializing action, so each round costs ONE job (an eager
+      // checkpoint ran a second job per round just to persist)
       val next = (if (iter == 0) prop
         else {
           val jump = prop.select($"id".as("jid"), $"label".as("jlabel"))
@@ -563,7 +566,7 @@ object Dedup {
             .select(prop("id"),
               least(prop("label"), coalesce($"jlabel", prop("label")))
                 .as("label"))
-        }).localCheckpoint(eager = true) // truncate lineage per round
+        }).localCheckpoint(eager = false) // truncate lineage per round
       val s = labelSum(next)
       labels.unpersist()
       labels = next
