@@ -1024,15 +1024,31 @@ object SparkEntry {
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
     "dedup_repeated_spans" ->
+      // true winnowing: every 8-window of hash positions selects its
+      // RIGHTMOST minimum. Key = md5hex || lpad(100000-pos): min(key)
+      // over the window IS the rightmost-min (smaller 100000-pos =
+      // larger pos breaks hash ties rightward), and the winning key
+      // encodes the selected position directly. wcnt = least(8, npos)
+      // keeps exactly the complete windows (plus the one truncated
+      // window of a doc with fewer than 8 positions — mirroring the
+      // Scala g = min(guarantee, n) clamp).
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           w AS (SELECT doc_id, CAST(i AS INT) AS pos, substr(t, CAST(i AS INT), 40) AS span
                 FROM docs, generate_series(1, 2000) g(i)
                 WHERE length(t) >= 40 AND i <= length(t) - 39),
-          h AS (SELECT doc_id, pos, span, md5(span) AS h FROM w),
-          m AS (SELECT *, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn FROM h),
-          sel AS (SELECT DISTINCT doc_id, span FROM m WHERE h = mn)
+          h AS (SELECT doc_id, pos, md5(span) || lpad(CAST(100000 - pos AS VARCHAR), 6, '0') AS k FROM w),
+          m AS (SELECT doc_id,
+                  min(k) OVER win AS wk,
+                  count(*) OVER win AS wcnt,
+                  count(*) OVER (PARTITION BY doc_id) AS npos
+                FROM h
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+          sel AS (SELECT DISTINCT doc_id, 100000 - CAST(substr(wk, 33) AS INT) AS pos
+                  FROM m WHERE wcnt = least(8, npos)),
+          sp AS (SELECT DISTINCT s.doc_id, w.span
+                 FROM sel s JOIN w ON w.doc_id = s.doc_id AND w.pos = s.pos)
           SELECT span, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
-          FROM sel GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+          FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),

@@ -316,64 +316,155 @@ object Dedup {
   }
 
   /** Cross-document repeated spans via winnowing fingerprints
-    * (Schleimer, Wilkerson & Aiken 2003 — the MOSS selection rule): the
-    * distributed-friendly form of exact substring dedup (Lee et al.
-    * 2021 use suffix arrays, which don't shard; winnowing does).
+    * (Schleimer, Wilkerson & Aiken 2003): the distributed-friendly form
+    * of exact substring dedup (Lee et al. 2021 use suffix arrays, which
+    * don't shard; winnowing does).
     *
     * Every `window`-char substring of the normalized text is hashed;
-    * position i is SELECTED iff its hash is the minimum over the next
-    * `guarantee` positions [i, i+g-1]. Selection depends only on local
-    * CONTENT (not absolute position), so two documents sharing any
-    * region of ≥ window+guarantee-1 chars select at least one identical
-    * span inside it — a plain stride would miss repeats whose grids
-    * are phase-shifted. Selected spans groupBy-count across docs;
+    * then for EVERY sliding window of `guarantee` consecutive hash
+    * positions the RIGHTMOST minimal position is selected — the true
+    * Schleimer/MOSS rule, which is what makes the guarantee hold: any
+    * region of ≥ window+guarantee-1 chars shared by two documents
+    * contains at least one full guarantee-window of hash positions, and
+    * that window's rightmost-min depends only on region CONTENT, so
+    * both documents select the same span inside it. (An earlier cut
+    * selected i only when hs(i) was the min of the FORWARD window
+    * [i, i+g) — a strict subset of the winnow under which a run of
+    * decreasing hashes selects nothing, voiding the guarantee.)
+    * Documents with fewer than `guarantee` hash positions winnow their
+    * single truncated window. Selected spans groupBy-count across docs;
     * output = spans appearing in ≥ minDocs distinct documents.
     *
     * The winnow is per-document, so it runs ROW-LOCALLY in a narrow
-    * mapPartitions (one MessageDigest per partition) — the first cut
-    * ran it as explode + per-doc window function, which exchanged every
-    * window position in the corpus just to compute a doc-local minimum.
-    * Only the selected spans (≈ 1/guarantee of positions, locally
-    * deduped per doc) reach the groupBy exchange, ~window bytes each.
-    * The hash is md5 over UTF-8 bytes (not xxhash64) so an external SQL
-    * engine reproduces the selection bit-for-bit: unsigned-byte order
-    * on digests ≡ lexicographic order on their hex form. */
+    * mapPartitions — the first cut ran it as explode + per-doc window
+    * function, which exchanged every window position in the corpus just
+    * to compute a doc-local minimum. Only the selected spans
+    * (≈ 2/(guarantee+1) of positions, locally deduped per doc) reach
+    * the groupBy exchange, ~window bytes each.
+    *
+    * `hashMode`:
+    *  - "md5" (default, the oracle-comparable mode) — md5 over UTF-8
+    *    bytes so an external SQL engine reproduces the selection
+    *    bit-for-bit (unsigned-byte order on digests ≡ lexicographic
+    *    order on their hex form). The window bytes are digested as a
+    *    slice of ONE per-doc UTF-8 encoding (per-char byte offsets
+    *    precomputed), not a fresh substring+getBytes per position —
+    *    same digests, one allocation per doc instead of two per char.
+    *  - "roll" — Karp–Rabin polynomial rolling hash, O(n) hash work
+    *    per doc instead of O(n·window) digest bytes: the scale mode
+    *    when bit-for-bit SQL reproducibility isn't needed. Selection
+    *    differs from md5 mode (different hash ⇒ different minima) but
+    *    the winnowing guarantee is identical, because equal content
+    *    gives equal hashes in any mode. */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = 40, guarantee: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashMode: String = "md5"): DataFrame = {
+    require(hashMode == "md5" || hashMode == "roll",
+      s"hashMode must be 'md5' or 'roll', got '$hashMode'")
+    require(guarantee >= 1, s"guarantee must be >= 1, got $guarantee")
     val spark = df.sparkSession
     import spark.implicits._
+    val useRoll = hashMode == "roll"
     val selected = df.select(longId(df, idCol).as("id"),
       normText(col(textCol)).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md =
+          if (useRoll) null else java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, t) =>
           if (t == null || t.length < window) Iterator.empty
           else {
             val n = t.length - window + 1
-            val hs = new Array[Array[Byte]](n)
+            var hsMd: Array[Array[Byte]] = null
+            var hsRl: Array[Long] = null
+            if (useRoll) {
+              // Karp–Rabin: h(i) = Σ c(i+j)·B^(w-1-j) mod 2^64
+              val B = 0x100000001b3L
+              var bw = 1L
+              var k = 0
+              while (k < window - 1) { bw *= B; k += 1 }
+              hsRl = new Array[Long](n)
+              var h = 0L
+              k = 0
+              while (k < window) { h = h * B + t.charAt(k); k += 1 }
+              hsRl(0) = h
+              var i = 1
+              while (i < n) {
+                h = (h - t.charAt(i - 1) * bw) * B + t.charAt(i + window - 1)
+                hsRl(i) = h
+                i += 1
+              }
+            } else {
+              hsMd = new Array[Array[Byte]](n)
+              // fast path: digest slices of ONE UTF-8 encoding of the doc
+              // (char→byte offsets are exact for surrogate-free text; a
+              // split surrogate pair would encode differently than
+              // substring().getBytes, so those rare docs fall back)
+              var hasSurrogate = false
+              var ci = 0
+              while (ci < t.length && !hasSurrogate) {
+                if (Character.isSurrogate(t.charAt(ci))) hasSurrogate = true
+                ci += 1
+              }
+              if (!hasSurrogate) {
+                val bytes =
+                  t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                val off = new Array[Int](t.length + 1)
+                var b = 0
+                ci = 0
+                while (ci < t.length) {
+                  off(ci) = b
+                  val c = t.charAt(ci)
+                  b += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+                  ci += 1
+                }
+                off(t.length) = b
+                var i = 0
+                while (i < n) {
+                  md.update(bytes, off(i), off(i + window) - off(i))
+                  hsMd(i) = md.digest()
+                  i += 1
+                }
+              } else {
+                var i = 0
+                while (i < n) {
+                  hsMd(i) = md.digest(t.substring(i, i + window)
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  i += 1
+                }
+              }
+            }
+            // hs(i) <= hs(j)? (unsigned in both modes)
+            @inline def le(i: Int, j: Int): Boolean =
+              if (useRoll) java.lang.Long.compareUnsigned(hsRl(i), hsRl(j)) <= 0
+              else java.util.Arrays.compareUnsigned(hsMd(i), hsMd(j)) <= 0
+            // true winnowing: rightmost-min of every g-window, via a
+            // monotonic deque (pop-equal-from-back ⇒ front is the
+            // RIGHTMOST occurrence of the window minimum); O(n) total
+            val g = math.min(guarantee, n)
+            val cap = g + 1
+            val dq = new Array[Int](cap) // ring buffer of candidate indices
+            var head = 0
+            var size = 0
+            val uniq = scala.collection.mutable.LinkedHashSet.empty[String]
+            var lastSel = -1
             var i = 0
             while (i < n) {
-              hs(i) = md.digest(t.substring(i, i + window)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              i += 1
-            }
-            // i is selected iff hs(i) = min over [i, i+g) — ties (runs
-            // of an identical span) select every tied position, exactly
-            // like `h = min(h) OVER (... g FOLLOWING)` in SQL
-            val uniq = scala.collection.mutable.LinkedHashSet.empty[String]
-            i = 0
-            while (i < n) {
-              var isMin = true
-              var j = i + 1
-              val end = math.min(i + guarantee, n)
-              while (isMin && j < end) {
-                if (java.util.Arrays.compareUnsigned(hs(j), hs(i)) < 0)
-                  isMin = false
-                j += 1
+              if (size > 0 && dq(head) <= i - g) { // slide out of window
+                head = (head + 1) % cap
+                size -= 1
               }
-              if (isMin) uniq += t.substring(i, i + window)
+              // pop-equal-from-back ⇒ front is the RIGHTMOST window min
+              while (size > 0 && le(i, dq((head + size - 1) % cap))) size -= 1
+              dq((head + size) % cap) = i
+              size += 1
+              if (i >= g - 1) {
+                val sel = dq(head)
+                if (sel != lastSel) {
+                  uniq += t.substring(sel, sel + window)
+                  lastSel = sel
+                }
+              }
               i += 1
             }
             uniq.iterator.map(sp => (id, sp))

@@ -126,6 +126,57 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("repeatedSpans: winnow guarantee holds at the MINIMAL region " +
+      "length, every seed, both hash modes") {
+    // the guarantee — any shared region of >= window+guarantee-1 chars
+    // yields a shared selected span — must hold for EVERY content, not
+    // just friendly hash draws. The pre-r4 forward-min rule ([i, i+g)
+    // minimum) failed exactly here: in a decreasing-hash run no position
+    // owns its forward window, so some seeds shared nothing. True
+    // winnowing (rightmost-min of every g-window) cannot miss. Regions
+    // are planted at the MINIMAL qualifying length (w+g-1 = 27) with
+    // per-seed random flanks — different flank content shifts the
+    // region's phase and surrounding hashes each time.
+    val w = 20
+    val g = 8
+    val rnd = new scala.util.Random(11)
+    def randText(len: Int): String =
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (0 until 25).foreach { seed =>
+      val region = randText(w + g - 1) // exactly the guarantee bound
+      val a = s"${randText(30 + seed)} $region ${randText(25)}"
+      val b = s"${randText(55 - seed)} $region ${randText(40)}"
+      val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      Seq("md5", "roll").foreach { mode =>
+        val out = Dedup.repeatedSpans(d, "doc_id", "text",
+          window = w, guarantee = g, minDocs = 2, hashMode = mode)
+          .collect()
+        assert(out.nonEmpty, s"seed=$seed mode=$mode: guarantee violated")
+        // shared spans must come from the planted region (flanks differ)
+        out.foreach(r => assert((" " + region + " ").contains(r.getString(0)),
+          s"seed=$seed mode=$mode span '${r.getString(0)}' outside region"))
+      }
+    }
+  }
+
+  test("repeatedSpans: md5 fast byte-slice path ≡ substring path " +
+      "(non-ASCII + surrogate fallback)") {
+    // é/ü exercise the 2-byte offsets of the single-encoding fast path;
+    // the emoji (surrogate pair) forces the fallback branch — both must
+    // select identical spans for identical content
+    val shared = "gemeinsame Passage über die Bücherei und Kaffee"
+    val d = Seq(
+      (1L, s"Ein müder Anfang hier 😀 $shared und Schluss"),
+      (2L, s"Ganz anderes Vorwort über Wälder $shared endgültig")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, "doc_id", "text",
+      window = 30, guarantee = 6, minDocs = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach(r =>
+      assert((" " + shared.toLowerCase + " ").contains(r.getString(0)),
+        s"'${r.getString(0)}'"))
+  }
+
   test("minHashLshVerified outputs EXACT jaccard for every emitted pair") {
     val out = Dedup.minHashLshVerified(docs, "doc_id", "text",
       n = 5, numHashes = 64, bands = 32,
