@@ -44,15 +44,30 @@ object SparkEntry {
 
   // Shared pipeline run — the pipeline_* queries expose the clip-
   // pipeline stages; one run feeds all of them. Keyed by the run's
-  // ACTUAL inputs (corpus size, layout) AND the session identity: a
-  // cached Result holds Datasets bound to one SparkContext, and a
-  // second session in the same JVM (test suites) must never receive
-  // frames from a possibly-stopped first session.
-  private val pipeCache =
-    scala.collection.mutable.HashMap.empty[(Int, Long, Int), Pipeline.Result]
-  private def pipe(s: SparkSession, n: Long = 2000L,
+  // ACTUAL inputs (corpus size, layout) AND the session OBJECT in a
+  // weak-key map: a cached Result holds Datasets bound to one
+  // SparkContext, and a second session in the same JVM (test suites)
+  // must never receive frames from a possibly-stopped first session.
+  // (r3 keyed on System.identityHashCode(session) — identity hashes can
+  // be REUSED after the old session is GC'd, so a new session could
+  // collide onto frames of a stopped SparkContext, and dead-session
+  // entries leaked for the JVM lifetime. Weak keys make dead sessions
+  // collectable; the isStopped guard evicts a stopped-but-reachable
+  // session's entries before they can be returned.)
+  private val pipeCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[(Long, Int), Pipeline.Result]]()
+  private def sessionSlot[K, V](cache: java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.HashMap[K, V]], s: SparkSession):
+      scala.collection.mutable.HashMap[K, V] = {
+    if (s.sparkContext.isStopped) cache.remove(s)
+    Option(cache.get(s)).getOrElse {
+      val m = scala.collection.mutable.HashMap.empty[K, V]
+      cache.put(s, m); m
+    }
+  }
+  private[graft] def pipe(s: SparkSession, n: Long = 2000L,
       partitions: Int = 8): Pipeline.Result = synchronized {
-    pipeCache.getOrElseUpdate((System.identityHashCode(s), n, partitions), {
+    sessionSlot(pipeCache, s).getOrElseUpdate((n, partitions), {
       val clips = Pipeline.clips(s, n, partitions = partitions)
       Pipeline.run(s, clips)
     })
@@ -62,12 +77,13 @@ object SparkEntry {
   // segments, ppl buckets, BPE) used to create a FRESH Broadcast of the
   // model bundle on every invocation and never destroy it — a long
   // session accumulated undestroyed broadcast blocks. One broadcast per
-  // (session, key) matches Stage1's broadcast-once pattern.
-  private val bcCache = scala.collection.mutable.HashMap.empty[(Int, String), Any]
+  // (session, key) matches Stage1's broadcast-once pattern. Same
+  // weak-key + isStopped-eviction discipline as pipeCache.
+  private val bcCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[String, Any]]()
   private def cachedBc[T](s: SparkSession, key: String)(mk: => T): T =
     synchronized {
-      bcCache.getOrElseUpdate((System.identityHashCode(s), key), mk)
-        .asInstanceOf[T]
+      sessionSlot(bcCache, s).getOrElseUpdate(key, mk).asInstanceOf[T]
     }
 
   /** Flagship: end-to-end keep/drop decisions on a synthesized clip
@@ -369,12 +385,19 @@ object SparkEntry {
       val pairs = cand.join(docs.withColumnRenamed("doc_id", "b"), Seq("b"))
       Dedup.components(pairs).select(col("id"), col("label"))
     }),
-    "dedup_simhash" -> ((s, d) => // approximate — rows-only check
-      // maxHamming = chunks-1: the exact envelope the 4x16-bit pigeonhole
-      // guarantees (r1 asked 10 here, where recall was luck — the
-      // operator now REJECTS parameters beyond its guarantee)
+    "dedup_simhash" -> ((s, d) =>
+      // chunks=6: the Manku multi-table scheme (20 tables × 32-bit
+      // keys) — candidates stay ~linear at 10^9+ docs where the old
+      // single-16-bit-chunk keys went quadratic. The output is exact
+      // (scheme-independent: candidates verified with exact hamming,
+      // recall guaranteed by pigeonhole), so as of r4 this tier is
+      // VALUE-checked: the oracle reproduces simhash64 (FNV-1a over
+      // distinct 4-gram shingles + per-bit sign votes) bit-for-bit in
+      // DuckDB with HUGEINT mod-2^64 arithmetic and compares ALL pairs
+      // — quadratic, viable only at oracle scale; the Spark side
+      // touches only bucket-mates.
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
-        n = 4, maxHamming = 3, chunks = 4)),
+        n = 4, maxHamming = 3, chunks = 6)),
     "dedup_audio_neardup" -> ((s, _) => {
       // audio near-dup: normalized band-energy vectors, peak-band
       // buckets (±1 multi-probe), exact cosine verify. Corpus plants
@@ -1049,6 +1072,43 @@ object SparkEntry {
                  FROM sel s JOIN w ON w.doc_id = s.doc_id AND w.pos = s.pos)
           SELECT span, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
           FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
+    "dedup_simhash" ->
+      // bit-for-bit DuckDB reproduction of Dedup.simHash64: distinct
+      // 4-gram shingles of the normalized text (whole text when shorter
+      // than 4), FNV-1a 64 per shingle via list_reduce over codepoints
+      // (64-bit wrapping multiply done as a 32-bit split so the HUGEINT
+      // product can't overflow 128 bits), ±1 sign votes per bit, then
+      // exact all-pairs hamming ≤ 3 via xor + bit_count. Validated
+      // against the Scala hash value-for-value at sf0.01/sf0.1.
+      s"""WITH docs AS (
+            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+            WHERE length(trim(text)) > 0),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN length(t) < 4 THEN t ELSE substr(t, CAST(i AS INT), 4) END AS s
+            FROM docs, generate_series(1, 2000) g(i)
+            WHERE i <= greatest(length(t) - 3, 1)),
+          h AS (
+            SELECT doc_id, list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(generate_series(1, length(s)),
+                  i -> unicode(substr(s, i, 1))::HUGEINT)),
+              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
+                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
+                  * 4294967296) % 18446744073709551616) AS h
+            FROM sh),
+          bits AS (
+            SELECT doc_id, b,
+              CASE WHEN sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
+                THEN 1 ELSE -1 END) > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+            FROM h, generate_series(0, 63) g(b) GROUP BY doc_id, b),
+          sig AS (
+            SELECT doc_id, sum(bit * (1::HUGEINT << b))::HUGEINT AS sh64
+            FROM bits GROUP BY doc_id)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+            CAST(bit_count(xor(a.sh64, b.sh64)) AS INTEGER) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""",
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),

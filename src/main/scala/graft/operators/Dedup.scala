@@ -702,19 +702,16 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs within `maxHamming`, candidate-generated via
-    * `chunks` equal-width bit chunks: any pair within hamming distance
-    * `chunks - 1` shares at least one exact chunk by pigeonhole, so
-    * recall is GUARANTEED only for maxHamming <= chunks - 1 — enforced
-    * with a require so a caller can't silently under-recall (a
-    * maxHamming=10 query on 4 chunks finds hamming 4..10 pairs only by
-    * luck). More chunks buy recall at the cost of fan-out: bucket keys
-    * get shorter (64/chunks bits), so buckets grow and the in-bucket
-    * verify join goes quadratic on small key spaces — 4x16-bit is the
-    * scale default. */
+  /** SimHash near-dup pairs within `maxHamming`, candidate-generated by
+    * the multi-table block scheme of [[hammingPairs]] (recall GUARANTEED
+    * for maxHamming ≤ chunks-1 by pigeonhole — enforced, so a caller
+    * can't silently under-recall). The OUTPUT is scheme-independent
+    * (candidates are verified with exact hamming, then distinct'd), so
+    * `chunks` is purely a scale knob: 6 (the default) keys each of the
+    * 20 tables on 32 bits — linear candidate growth out to 10^9+ docs;
+    * see [[hammingPairs]] for the full replication/key-width trade. */
   def simHash(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+      n: Int = 4, maxHamming: Int = 3, chunks: Int = 6): DataFrame = {
     require(maxHamming <= chunks - 1,
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
@@ -731,35 +728,110 @@ object Dedup {
     hammingPairs(hashes, maxHamming, chunks)
   }
 
-  /** Hamming-ball candidate search over any 64-bit hash column —
-    * the bucketing engine shared by [[simHash]] (text) and
-    * [[audioFingerprint]] (spectral fingerprints). `hashes` must have
-    * columns (id: long, sh: long); same pigeonhole recall guarantee and
-    * chunk tradeoff as [[simHash]]. */
+  /** Even split of the 64 hash bits into `chunks` blocks:
+    * (startBit, width) per block, first `64 % chunks` blocks one wider. */
+  private def blockLayout(chunks: Int): Array[(Int, Int)] = {
+    val base = 64 / chunks
+    val extra = 64 % chunks
+    val out = new Array[(Int, Int)](chunks)
+    var start = 0
+    var i = 0
+    while (i < chunks) {
+      val w = base + (if (i < extra) 1 else 0)
+      out(i) = (start, w)
+      start += w
+      i += 1
+    }
+    out
+  }
+
+  /** All size-k index subsets of 0 until n, lexicographic. */
+  private def combinations(n: Int, k: Int): Seq[Seq[Int]] =
+    (0 until n).combinations(k).map(_.toSeq).toSeq
+
+  /** Per-table candidate keys for the multi-table hamming scheme
+    * (Manku, Jain & Das Sarma 2007): one key per (chunks-maxHamming)-
+    * subset of blocks, each key the concatenation of its blocks' bits. */
+  private def tableKeys(sh: Column, maxHamming: Int,
+      chunks: Int): Seq[Column] = {
+    val layout = blockLayout(chunks)
+    combinations(chunks, chunks - maxHamming).map { blocks =>
+      blocks.foldLeft(lit(0L)) { case (acc, b) =>
+        val (start, w) = layout(b)
+        val mask = if (w == 64) -1L else (1L << w) - 1
+        shiftleft(acc, w) + shiftright(sh, start).bitwiseAND(lit(mask))
+      }
+    }
+  }
+
+  /** Hamming-ball candidate search over any 64-bit hash column — the
+    * bucketing engine shared by [[simHash]] (text) and the audio
+    * fingerprint tier. `hashes` must have columns (id: long, sh: long).
+    *
+    * Multi-table scheme (Manku, Jain & Das Sarma, WWW 2007): the 64
+    * bits split into `chunks` near-equal blocks; each of the
+    * C(chunks, chunks-maxHamming) tables keys on the concatenated bits
+    * of one (chunks-maxHamming)-subset of blocks. Pigeonhole: ≤
+    * maxHamming differing bits touch ≤ maxHamming blocks, so some
+    * subset of chunks-maxHamming blocks is untouched and that table's
+    * keys match exactly — recall is GUARANTEED for maxHamming ≤
+    * chunks-1 (enforced; beyond it recall would be luck).
+    *
+    * The chunks knob trades replication for key width: expected
+    * candidate pairs ≈ tables · n² / 2^keyBits, with keyBits =
+    * 64·(chunks-maxHamming)/chunks.
+    *   - chunks=4, h=3 → 4 tables × 16-bit keys: cheapest explode, but
+    *     the 65 536-key space goes quadratic around 10^8 docs — the r3
+    *     scheme, now the SMALL-corpus setting.
+    *   - chunks=6, h=3 → 20 tables × 32-bit keys: ~4·10^9 keys, linear
+    *     candidates out to 10^9+ docs at 5× the exploded rows — the
+    *     scale default ([[simHash]] uses it).
+    *   - chunks=8, h=3 → 56 tables × 40-bit keys for the 10^12 tier.
+    * A corpus where one block's value is globally hot (shared
+    * boilerplate bits) breaks the single-block scheme completely —
+    * every doc lands in one bucket — while any wider-key table still
+    * spreads on its other blocks' bits (DedupSpec measures exactly
+    * this: 2000 docs sharing 16 bits → 2.0M in-bucket pairs at
+    * chunks=4 vs ~linear at chunks=6). */
   def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(chunks >= 1 && chunks <= 64, s"chunks must be 1..64, got $chunks")
     require(maxHamming <= chunks - 1,
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
-    val bits = 64 / chunks
-    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val spark = hashes.sparkSession
     import spark.implicits._
     val chunked = hashes.select($"id", $"sh",
-      posexplode(array((0 until chunks).map(c =>
-        shiftright($"sh", c * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("chunk", "ck")))
-    val a = chunked.select($"chunk", $"ck", $"id".as("a"), $"sh".as("sha"))
-    val b = chunked.select($"chunk", $"ck", $"id".as("b"), $"sh".as("shb"))
+      posexplode(array(tableKeys($"sh", maxHamming, chunks): _*))
+        .as(Seq("tbl", "ck")))
+    val a = chunked.select($"tbl", $"ck", $"id".as("a"), $"sh".as("sha"))
+    val b = chunked.select($"tbl", $"ck", $"id".as("b"), $"sh".as("shb"))
     // hamming-filter BEFORE the pair distinct: bucket-mates are quadratic
     // in bucket size, survivors are few — the distinct shuffle should
     // only carry survivors (hamming is deterministic per pair, so
     // filter-then-distinct ≡ distinct-then-filter)
-    a.join(b, Seq("chunk", "ck")).filter($"a" < $"b")
+    a.join(b, Seq("tbl", "ck")).filter($"a" < $"b")
       .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
       .filter($"hamming" <= maxHamming)
       .select($"a", $"b", $"hamming").distinct()
+  }
+
+  /** Σ over buckets of C(size, 2) — the exact in-bucket verify-join
+    * fan-out [[hammingPairs]] would pay (before the hamming filter and
+    * pair distinct), as one aggregate. The observability hook for the
+    * quadratic-blowup bound: log it per corpus and raise `chunks` when
+    * it trends away from O(n·tables). */
+  def hammingCandidateCount(hashes: DataFrame, maxHamming: Int = 3,
+      chunks: Int = 4): Long = {
+    require(maxHamming <= chunks - 1)
+    val spark = hashes.sparkSession
+    import spark.implicits._
+    hashes.select($"id",
+      posexplode(array(tableKeys($"sh", maxHamming, chunks): _*))
+        .as(Seq("tbl", "ck")))
+      .groupBy($"tbl", $"ck").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * ($"n" - 1)), lit(0L)))
+      .head.getLong(0) / 2
   }
 
   /** Audio near-dup pairs — the waveform analog of

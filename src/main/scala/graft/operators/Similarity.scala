@@ -75,7 +75,11 @@ object Similarity {
         array((0 until dim).map(d => lit(planeComponent(p, d))): _*))
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // null vector → null bucket (NOT bucket 0): each plane's dot is NULL,
+    // so every `when` falls to otherwise(0) and all null-vector rows
+    // would otherwise collide into one REAL bucket, blowing the candidate
+    // join O(m²) on null-heavy corpora. Null buckets never equi-join.
+    when(vec.isNull, lit(null).cast("long")).otherwise(bits.reduce(_ + _))
   }
 
   // ------------------------------------------------------------- IVF ANN

@@ -306,6 +306,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table hamming scheme: hot shared block stays ~linear " +
+      "where single-block keys explode; recall still total") {
+    // adversarial corpus: every hash shares its LOW 16 BITS (shared
+    // boilerplate bits — exactly one full block of the chunks=4
+    // scheme), all other bits random. chunks=4 keys table 0 on those 16
+    // bits alone → all n docs in ONE bucket → C(n,2) candidate pairs.
+    // chunks=6 keys every table on 3 blocks (~32 bits), so each key
+    // includes random bits and candidates stay near-linear.
+    val n = 2000
+    val shared = 0xBEEFL
+    val hashes = (0 until n).map { i =>
+      val r = graft.util.Mix.mix(i.toLong) & ~0xFFFFL
+      (i.toLong, r | shared)
+    }.toDF("id", "sh")
+    val c4 = Dedup.hammingCandidateCount(hashes, maxHamming = 3, chunks = 4)
+    val c6 = Dedup.hammingCandidateCount(hashes, maxHamming = 3, chunks = 6)
+    info(s"candidates: chunks=4 -> $c4, chunks=6 -> $c6 (n=$n)")
+    assert(c4 >= n.toLong * (n - 1) / 2, s"hot block should explode c4: $c4")
+    assert(c6 < c4 / 100, s"multi-table keys should stay ~linear: $c6")
+    // recall: plant hamming-1..3 neighbors of doc 0 and find them all
+    val base = hashes.collect()(0).getLong(1)
+    val planted = Seq(
+      (9000L, base ^ 1L), // hamming 1
+      (9001L, base ^ (1L << 20) ^ (1L << 45)), // hamming 2
+      (9002L, base ^ (1L << 5) ^ (1L << 30) ^ (1L << 63))) // hamming 3
+    val withPlanted = hashes.union(planted.toDF("id", "sh"))
+    val found = Dedup.hammingPairs(withPlanted, maxHamming = 3, chunks = 6)
+      .filter(col("a") === 0L && col("b") >= 9000L)
+      .collect().map(_.getLong(1)).toSet
+    assert(found == Set(9000L, 9001L, 9002L), s"found $found")
+    // and the two schemes agree on the OUTPUT pair set (scheme only
+    // changes candidate generation, never the verified result)
+    val p4 = Dedup.hammingPairs(withPlanted.filter(col("id") < 50 ||
+        col("id") >= 9000L), maxHamming = 3, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p6 = Dedup.hammingPairs(withPlanted.filter(col("id") < 50 ||
+        col("id") >= 9000L), maxHamming = 3, chunks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p4 == p6, s"scheme changed the output: ${p4.diff(p6)} ${p6.diff(p4)}")
+  }
+
   test("audio near-dup: planted volume+noise+codec copies recovered") {
     import graft.codec.Audio
     val n = 40L
@@ -375,6 +416,46 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     info(f"recall@5 = $recall%.2f")
     assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("sketchCol: null vectors bucket to NULL, not real bucket 0") {
+    // a null-heavy corpus must not pile every null row into one REAL
+    // bucket (O(m²) in-bucket join); null buckets never equi-join
+    graft.functions.VectorOps.register(spark)
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq.fill(16)(0.5)),
+        org.apache.spark.sql.Row(2L, null),
+        org.apache.spark.sql.Row(3L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val buckets = withNulls
+      .withColumn("bucket",
+        Similarity.sketchCol(org.apache.spark.sql.functions.col("embedding"),
+          dim = 16, planes = 4))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getLong(2)))).toMap
+    assert(buckets(1L).nonEmpty, "real vector must get a real bucket")
+    assert(buckets(2L).isEmpty && buckets(3L).isEmpty,
+      s"null vectors must get null buckets, got $buckets")
+  }
+}
+
+class SessionCacheSpec extends AnyFunSuite {
+  test("pipe cache: same session memoizes; a second session in the " +
+      "same JVM gets fresh frames (weak-key map, no identity-hash reuse)") {
+    val s1 = SparkTestSession.spark
+    val a = SparkEntry.pipe(s1, n = 200L, partitions = 2)
+    val b = SparkEntry.pipe(s1, n = 200L, partitions = 2)
+    assert(a eq b, "same session + same inputs must memoize")
+    val s2 = s1.newSession()
+    val c = SparkEntry.pipe(s2, n = 200L, partitions = 2)
+    assert(!(c eq a), "a different session must never receive another " +
+      "session's cached frames")
   }
 }
 
