@@ -544,6 +544,21 @@ object Dedup {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** ⌈log₂ n⌉ + 8 hyperplanes, clamped to [16, 40] — enough that the
+    * expected bucket occupancy n/2^planes stays ≪ 1 (buckets of size
+    * 0/1 dominate, so the in-bucket join cost is driven by the probe
+    * replication, not bucket collisions), while hamming-1 multi-probe
+    * keeps near-identical recall: at cos ≥ 0.999 each plane flips with
+    * p = θ/π ≈ 0.014, so even at 40 planes a pair's sketches differ by
+    * ≥ 2 bits (the only miss mode under multi-probe) with p ≈ 14%
+    * worst-case, ≈ 1% at cos 0.9999 — raise `multiProbe` coverage or
+    * verify survivors downstream if the corpus carries looser dups. */
+  def autoPlanes(n: Long): Int = {
+    val log2 =
+      if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(40, math.max(16, log2 + 8))
+  }
+
   /** Full-corpus embedding near-dup via sign-sketch LSH — the scale path
     * the anchored [[embeddingCosine]] can't cover: every vector lands in
     * a bucket keyed by the sign pattern of `planes` fixed hyperplanes
@@ -553,20 +568,31 @@ object Dedup {
     * enters its `planes` hamming-1 neighbor buckets, which guarantees
     * recall for any pair whose sketches differ in at most one bit (the
     * common case for near-identical vectors) at the cost of (planes+1)×
-    * rows on that side — still O(n·planes) candidate generation vs the
-    * O(n²) exact cross join. */
+    * rows on that side.
+    *
+    * COST BOUND — candidates are in-bucket pairs: Σ over buckets of
+    * |probe side| · |build side|, NOT "O(n·planes)" (an earlier claim).
+    * Explode/probe generation is O(n·planes); the join fan-out is only
+    * near-linear when buckets stay small, i.e. when 2^planes ≳ n — at
+    * planes=8 there are just 256 buckets and the bound degrades toward
+    * (planes+1)·n²/256 however sharp the verify is. `planes <= 0`
+    * (default) therefore self-scales via [[autoPlanes]] (⌈log₂ n⌉ + 8,
+    * one metadata-cheap count job); pass an explicit small `planes`
+    * only for deliberately coarse sampling (the benchmarked
+    * `dedup_embedding_lsh` query documents exactly that trade at 8). */
   def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, planes: Int = 8,
+      dim: Int, threshold: Double, planes: Int = 0,
       multiProbe: Boolean = true): DataFrame = {
     graft.functions.VectorOps.register(df.sparkSession)
     import df.sparkSession.implicits._
+    val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
     val v = df.select(longId(df, idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, planes))
+      .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, nPlanes))
     val probes =
       if (!multiProbe) array(col("bucket"))
       else array(col("bucket") +:
-        (0 until planes).map(p =>
+        (0 until nPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = v.select($"id".as("a"), $"vec".as("va"),
       explode(probes).as("pb"))

@@ -239,6 +239,43 @@ class DedupSpec extends AnyFunSuite {
     assert(noProbe.subsetOf(lshPairs))
   }
 
+  test("embedding LSH at scale planes (24+): planted near-identical " +
+      "pairs all recovered; autoPlanes self-scales") {
+    import org.apache.spark.sql.functions.col
+    // autoPlanes = ceil-log2 + 8, clamped to [16, 40]
+    assert(Dedup.autoPlanes(1L) == 16)
+    assert(Dedup.autoPlanes(256L) == 16)
+    assert(Dedup.autoPlanes(65536L) == 24)
+    assert(Dedup.autoPlanes(1L << 20) == 28)
+    assert(Dedup.autoPlanes(Long.MaxValue) == 40)
+    // 300 spread base vectors (dim 32) + 20 planted near-identical
+    // copies (relative noise ~1e-3 → cos ≈ 0.9999+, sketches differ
+    // by ≤1 bit w.h.p. — the multi-probe envelope). planes=24 is the
+    // autoPlanes regime for a 10^5-doc corpus; buckets are 2^24 so
+    // nothing co-buckets by chance.
+    val base = (0L until 300L).map { i =>
+      val v = Array.tabulate(32) { d =>
+        (graft.util.Mix.mix(i * 97L + d).toDouble / Long.MaxValue).toFloat
+      }
+      (i, v)
+    }
+    val planted = (0L until 20L).map { k =>
+      val src = base(k.toInt * 7)._2
+      val v = Array.tabulate(32) { d =>
+        src(d) + ((graft.util.Mix.mix(k * 131L + d).toDouble /
+          Long.MaxValue) * 1e-3).toFloat
+      }
+      (1000L + k, v)
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 32, threshold = 0.999, planes = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 20L).map(k => (k * 7, 1000L + k)).toSet
+    assert(expected.subsetOf(found),
+      s"missed planted pairs: ${expected -- found}")
+  }
+
   test("minhash LSH in OPH mode still surfaces the near-dup pair") {
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
       n = 5, numHashes = 64, bands = 32, threshold = 0.4, oph = true)
