@@ -17,6 +17,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-query recall@5 of an ANN result against exact brute force:
+    * left-join brute's top-5 to the ANN top-5 on (qid, vid) and count
+    * hits, so a query with zero overlap still emits recall 0.0. The ANN
+    * frame is at most |queries|·k rows — Catalyst broadcasts it. */
+  private def annRecall(emb: DataFrame,
+      ann: (DataFrame, Seq[Long]) => DataFrame): DataFrame = {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val hits = ann(emb, qids)
+      .select(col("qid"), col("vid"), lit(1).as("hit"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", qids, k = 5)
+      .join(hits, Seq("qid", "vid"), "left")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4)
+        .as("recall_at_5"))
+  }
+
   /** Audio dedup fixture: n originals (distinct synth seeds) plus one
     * planted copy per 10th clip — volume-scaled 0.85x with fresh small
     * jitter — ids n+k for original k*10. */
@@ -448,6 +464,29 @@ object SparkEntry {
     "sim_ann_ivf" -> ((s, d) => // approximate — rows-only check
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryIds = Seq(0L, 1L, 2L, 3L, 4L), nLists = 16, nProbe = 4, k = 5)),
+    "sim_ann_lsh_recall" -> ((s, d) =>
+      // recall@5 of the sign-sketch LSH ANN vs exact brute force — the
+      // ANN tier's VALUE check: both sides are deterministic, and the
+      // oracle reproduces the splitmix64 hyperplanes, the sign
+      // bucketing, and the in-bucket exact re-rank in DuckDB SQL
+      // (HUGEINT mod-2^64 arithmetic, same technique as the
+      // dedup_simhash oracle), so the recall numbers themselves are
+      // hash-compared, not just row shape. Low recall at planes=6 over
+      // uniform-random embeddings is the honest measurement the
+      // sim_ann_lsh scaladoc promises for mid-similarity neighbors —
+      // the sketch only guarantees recall near cos ≈ 1.
+      annRecall(t(s, d, "embeddings"),
+        (emb, qids) => Similarity.lshTopK(emb, "vec_id", "embedding",
+          qids, dim = 64, k = 5, planes = 6))),
+    "sim_ann_ivf_recall" -> ((s, d) =>
+      // recall@5 of IVF-flat vs exact brute force. Rows-only by
+      // contract (reproducing 8 Lloyd iterations of spherical k-means
+      // in SQL is not practical) but the per-query values are pinned
+      // exactly in QueriesSpec — deterministic sample, deterministic
+      // farthest-point init, deterministic tie-breaks.
+      annRecall(t(s, d, "embeddings"),
+        (emb, qids) => Similarity.ivfTopK(emb, "vec_id", "embedding",
+          qids, nLists = 16, nProbe = 4, k = 5))),
 
     // ---------------- multimodal binary columns (image/video; real
     // PNG/JPEG via javax.imageio + MPNG video + GIMG/GVID raw raster —
@@ -658,6 +697,13 @@ object SparkEntry {
       t(s, d, "documents").groupBy(col("source"))
         .agg(approx_count_distinct(col("text"), 0.02).as("approx_texts"),
           count(lit(1)).as("rows"))),
+    "u2_rows_exact" -> ((s, d) =>
+      // the deterministic half of u2 split out so it gets a value
+      // check: exact per-source row AND exact distinct-text counts
+      // (one shuffle; the sketch column above stays bounded-only)
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("text")).as("n_texts"))),
     "u3_approx_quantiles" -> ((s, d) => {
       // t-digest-style quantile sketch (percentile_approx) for the
       // length distribution per source — same scale rationale as HLL.
@@ -1001,6 +1047,8 @@ object SparkEntry {
       s"SELECT lang || '->' || $predSql AS key, count(*) AS cnt FROM documents WHERE $predSql <> lang GROUP BY 1 ORDER BY cnt DESC, key ASC LIMIT 5",
     "u1_distinct_langs" ->
       "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs FROM documents GROUP BY source",
+    "u2_rows_exact" ->
+      "SELECT source, count(*) AS n_rows, count(DISTINCT text) AS n_texts FROM documents GROUP BY source",
     "q1_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY 1, 2",
     "q6_selective_agg" ->
@@ -1132,6 +1180,49 @@ object SparkEntry {
             FROM v CROSS JOIN q WHERE vec_id <> qid),
           ranked AS (SELECT qid, vid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS rank FROM scored)
           SELECT qid, rank, vid, sim FROM ranked WHERE rank <= 5""",
+    "sim_ann_lsh_recall" ->
+      // Full independent reproduction of the sign-sketch LSH ANN: the
+      // splitmix64 hyperplane components (Mix.mix = Golden increment +
+      // Steele-Lea-Flood finalizer, done in HUGEINT mod-2^64 arithmetic
+      // with 32-bit-split wrapping multiplies — same technique as the
+      // dedup_simhash oracle), sign bucketing over 6 planes, in-bucket
+      // exact re-rank, then recall@5 against DuckDB's own brute-force
+      // top-k. Hash-compares the ANN tier's VALUES, not just row shape.
+      """WITH pd AS (
+            SELECT p, d, (p::HUGEINT * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS x1
+            FROM generate_series(0, 5) gp(p), generate_series(0, 63) gd(d)),
+          m2 AS (SELECT p, d,
+            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x2 FROM pd),
+          m4 AS (SELECT p, d,
+            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x3 FROM m2),
+          comp AS (SELECT p, d,
+            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
+                  THEN xor(x3, x3 // 2147483648) - 18446744073709551616
+                  ELSE xor(x3, x3 // 2147483648) END)::DOUBLE / 9223372036854775807 AS c
+            FROM m4),
+          planes AS (SELECT p, list(c ORDER BY d) AS pv FROM comp GROUP BY p),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(vec, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+                 FROM v CROSS JOIN planes GROUP BY vec_id),
+          c AS (SELECT v.vec_id, vec, bucket FROM v JOIN bk USING (vec_id)),
+          q AS (SELECT vec_id AS qid, vec AS qvec, bucket AS qb FROM c WHERE vec_id < 5),
+          scored AS (SELECT qid, c.vec_id AS vid,
+              round(list_dot_product(qvec, vec) / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))), 4) AS sim
+            FROM c JOIN q ON c.bucket = q.qb AND c.vec_id <> q.qid),
+          lsh AS (SELECT qid, vid FROM (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid ASC) AS rank FROM scored) WHERE rank <= 5),
+          brute AS (
+            SELECT qid, vid FROM (
+              SELECT q2.qid, v.vec_id AS vid,
+                row_number() OVER (PARTITION BY q2.qid ORDER BY round(list_dot_product(q2.qvec, v.vec) / (sqrt(list_dot_product(q2.qvec, q2.qvec)) * sqrt(list_dot_product(v.vec, v.vec))), 4) DESC, v.vec_id ASC) AS rank
+              FROM v CROSS JOIN (SELECT vec_id AS qid, vec AS qvec FROM v WHERE vec_id < 5) q2
+              WHERE v.vec_id <> q2.qid) WHERE rank <= 5)
+          SELECT b.qid, round(sum(CASE WHEN l.vid IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
+          FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.vid = l.vid
+          GROUP BY b.qid""",
     "text_tokens" ->
       """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_ws, length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re FROM documents""",
     "text_quality" ->

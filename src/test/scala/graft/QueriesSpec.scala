@@ -121,6 +121,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann recall queries: per-query values deterministic and pinned; " +
+      "ivf (nProbe 4/16) beats the coarse 6-plane lsh sketch") {
+    def run(q: String) = SparkEntry.queries(q)(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = run("sim_ann_lsh_recall")
+    val ivf = run("sim_ann_ivf_recall")
+    info(s"lsh=$lsh ivf=$ivf")
+    assert(lsh.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(ivf.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // both sides fully deterministic (fixed hyperplanes; fixed sample +
+    // farthest-point init + tie-breaks) → exact value pins, the
+    // rows-only tier's stand-in for the DuckDB hash compare
+    assert(lsh == Map(0L -> 0.0, 1L -> 0.2, 2L -> 0.0, 3L -> 0.2, 4L -> 0.0))
+    assert(ivf == Map(0L -> 0.8, 1L -> 0.6, 2L -> 0.6, 3L -> 0.8, 4L -> 0.8))
+    assert(run("sim_ann_ivf_recall") == ivf) // rebuild → identical
+    // IVF probes the 4 most-relevant of 16 lists (25% scan, chosen by
+    // the quantizer) — more recall than a 6-plane random sign sketch
+    assert(ivf.values.sum >= lsh.values.sum,
+      s"ivf ${ivf.values.sum} < lsh ${lsh.values.sum}")
+  }
+
   test("mixture/pivot/nfc plans: broadcasts where intended, no global window") {
     val mix = SparkEntry.queries("sample_mixture_balance")(spark, sf)
       .queryExecution.executedPlan.toString
@@ -162,7 +183,10 @@ class QueriesSpec extends AnyFunSuite {
     // anchors, brute-force queries)
     val allowedNestedLoop = Set("text_tfidf_topk", "quality_drift_monitor",
       "sample_mixture_balance", "dedup_embedding_cosine",
-      "sim_topk_bruteforce")
+      "sim_topk_bruteforce",
+      // the recall queries embed the brute-force baseline (broadcast of
+      // the 5 query vectors) by construction
+      "sim_ann_lsh_recall", "sim_ann_ivf_recall")
     SparkEntry.queries.keys.filterNot(_.startsWith("pipeline_"))
       .filterNot(Set("dedup_audio_neardup", "dedup_audio_keep",
         "mm_image_features", "mm_resize", "mm_video_frame_sample"))
