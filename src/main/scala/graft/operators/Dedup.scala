@@ -658,32 +658,47 @@ object Dedup {
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
+    var step = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbor labels + own label, min per node
-      val prop = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
-        .select($"id", $"label")
-        .union(labels)
-        .groupBy($"id").agg(min($"label").as("label"))
-      // path halving: label := min(label, label's label). Labels are
-      // always node ids of the same component (mins of node-id sets),
-      // so the lookup side is the SAME frame renamed; left join guards
-      // the (impossible by construction) miss. Round 1 skips the jump:
-      // shallow components (stars/cliques — the common near-dup shape)
-      // are already at fixpoint after the initial least(id, min nbr),
-      // so the jump there is pure overhead; deep chains still halve
-      // from round 2 on.
-      // LAZY checkpoint: the labelSum aggregate right below is the
-      // materializing action, so each round costs ONE job (an eager
-      // checkpoint ran a second job per round just to persist)
-      val next = (if (iter == 0) prop
+      // TWO propagation steps per materialization: the fixed per-round
+      // cost (job scheduling + localCheckpoint write + the labelSum
+      // aggregate) dominates each round's actual shuffle work on
+      // anything but huge graphs, so batching steps halves the job
+      // count at the price of at most one redundant step after the
+      // fixpoint (monotone min-propagation makes extra steps no-ops,
+      // so correctness is untouched).
+      var cur = labels.as("cur")
+      var k = 0
+      while (k < 2) {
+        // neighbor labels + own label, min per node
+        val prop = edges.join(cur.withColumnRenamed("id", "nbr"), "nbr")
+          .select($"id", $"label")
+          .union(cur)
+          .groupBy($"id").agg(min($"label").as("label"))
+        // path halving: label := min(label, label's label). Labels are
+        // always node ids of the same component (mins of node-id sets),
+        // so the lookup side is the SAME frame renamed; left join
+        // guards the (impossible by construction) miss. The very first
+        // step skips the jump: shallow components (stars/cliques — the
+        // common near-dup shape) are already at fixpoint after the
+        // initial least(id, min nbr), so the jump there is pure
+        // overhead; deep chains still halve from step 2 on.
+        cur = if (step == 0) prop
         else {
           val jump = prop.select($"id".as("jid"), $"label".as("jlabel"))
           prop.join(jump, prop("label") === jump("jid"), "left")
             .select(prop("id"),
               least(prop("label"), coalesce($"jlabel", prop("label")))
                 .as("label"))
-        }).localCheckpoint(eager = false) // truncate lineage per round
+        }
+        step += 1
+        k += 1
+      }
+      // LAZY checkpoint: the labelSum aggregate right below is the
+      // materializing action, so each round costs ONE job (an eager
+      // checkpoint ran a second job per round just to persist)
+      val next = cur.localCheckpoint(eager = false) // truncate lineage
       val s = labelSum(next)
       labels.unpersist()
       labels = next
@@ -880,10 +895,18 @@ object Dedup {
     * Single-tone-heavy corpora make SOME bands hot; that skew is the
     * data's (clips sharing a peak band genuinely are near-dup
     * candidates), and the in-bucket verify is a cheap codegen'd dot
-    * product, salting-compatible if a band ever dominates. */
+    * product. When one band DOES dominate (monotone corpora — hold
+    * music, test tones), `saltBuckets > 1` spreads each band's bucket
+    * over that many reducer tasks: the probe side salts
+    * deterministically from its own id ([[Skew.saltFrom]]), the build
+    * side replicates once per salt, so every (a, b) pair still meets in
+    * exactly one (band, salt) bucket — output is IDENTICAL to unsalted
+    * (DedupSpec asserts equality), only the task-size distribution
+    * changes. Default 1 = unsalted plan, byte-for-byte the r3 shape. */
   def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
       codecCol: String, threshold: Double = 0.95,
-      nBands: Int = 64): DataFrame = {
+      nBands: Int = 64, saltBuckets: Int = 1): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
@@ -903,10 +926,17 @@ object Dedup {
       // clip decodes + FFTs twice (same reasoning as the minHashLsh
       // signature persist)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = feats.select($"id".as("a"), $"bands".as("ba"),
+    val a0 = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
-    val b = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
-    val out = a.join(b, Seq("pb"))
+    val b0 = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
+    val (a, b, joinKeys) =
+      if (saltBuckets == 1) (a0, b0, Seq("pb"))
+      else (
+        a0.withColumn("slt", Skew.saltFrom($"a", saltBuckets)),
+        b0.withColumn("slt",
+          explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        Seq("pb", "slt"))
+    val out = a.join(b, joinKeys)
       .filter($"a" < $"b")
       // band vectors are L2-normalized, so cosine = dot
       .withColumn("sim",

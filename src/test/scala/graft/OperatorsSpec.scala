@@ -412,6 +412,31 @@ class DedupSpec extends AnyFunSuite {
     assert(found.size == planted.size, s"missed ${planted -- pairs}")
     assert(!pairs.exists(p => p._1 == 999L || p._2 == 999L))
   }
+
+  test("audio near-dup: salted buckets produce the exact unsalted pairs " +
+      "on a single-hot-band corpus") {
+    import graft.codec.Audio
+    // every clip is the SAME base tone (seed 7) with tiny per-clip
+    // jitter — all peak bands collide, the worst case the salt path is
+    // for. Salted and unsalted must agree pair-for-pair (sim included).
+    val pcm = Audio.synth(7L, 8000, 4096)
+    val clips = (0L until 60L).map { i =>
+      var st = i * 31L
+      val mod = pcm.map { v =>
+        st = st * 6364136223846793005L + 1442695040888963407L
+        (v + ((st >>> 33) % 40L) - 20L).toShort
+      }
+      (i, "pcm_s16le", Audio.pcm16Encode(mod))
+    }.toDF("id", "codec", "bytes")
+    def run(salts: Int) =
+      Dedup.audioNearDup(clips, "id", "bytes", "codec", saltBuckets = salts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = run(1)
+    val salted = run(8)
+    assert(plain.nonEmpty) // hot-band corpus really does pair up
+    assert(salted == plain)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
