@@ -717,6 +717,19 @@ object SparkEntry {
       qs.select(col("source"), col("qs")(0).as("q25"),
         col("qs")(1).as("q50"), col("qs")(2).as("q90"))
     }),
+    "u3_quantiles_exact" -> ((s, d) => {
+      // EXACT per-source quantiles (sort-based `percentile`, linear
+      // interpolation) — the value-checked companion to the sketch
+      // above: same cut points, DuckDB oracle via quantile_cont. At
+      // 10^12 rows you run the sketch; this is the per-partition-sized
+      // exact tier (per-source groups) and the sketch's truth anchor.
+      val qs = t(s, d, "documents").groupBy(col("source"))
+        .agg(expr("percentile(n_chars, array(0.25D, 0.5D, 0.9D))").as("qs"))
+      qs.select(col("source"),
+        round(col("qs")(0), 4).as("q25"),
+        round(col("qs")(1), 4).as("q50"),
+        round(col("qs")(2), 4).as("q90"))
+    }),
     "text_lang_segments" -> ((s, d) => {
       // window-level language ID → code-switching detection: the doc-
       // level reference pipeline assigns ONE language per item; mixed-
@@ -1049,6 +1062,8 @@ object SparkEntry {
       "SELECT source, array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs FROM documents GROUP BY source",
     "u2_rows_exact" ->
       "SELECT source, count(*) AS n_rows, count(DISTINCT text) AS n_texts FROM documents GROUP BY source",
+    "u3_quantiles_exact" ->
+      "SELECT source, round(quantile_cont(n_chars, 0.25), 4) AS q25, round(quantile_cont(n_chars, 0.5), 4) AS q50, round(quantile_cont(n_chars, 0.9), 4) AS q90 FROM documents GROUP BY source",
     "q1_agg" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem GROUP BY 1, 2",
     "q6_selective_agg" ->

@@ -614,23 +614,39 @@ object Dedup {
     * appearing in `pairs`, where label = the component's minimal id; keep
     * policy is then `id == label` (plus all ids never seen in a pair).
     *
-    * Algorithm: iterative min-label propagation WITH path halving. Each
-    * round, every node takes the min of its own label and its
-    * neighbors' labels, then jumps one pointer step (label := label's
-    * label) — the classic shortcut that turns O(diameter) rounds into
-    * O(log diameter) (Kiveris et al. 2014's star operations are the
-    * same idea; a chain of 16 converges in 4 rounds, measured 5.4 s →
-    * 2.6 s on the profiler's planted chains). Near-dup components are
-    * shallow in practice (stars/cliques around a template) so rounds
-    * stay low single-digit either way; the `maxIter` guard and the
-    * convergence check (a metadata-sized aggregate, not a collect of
-    * labels) bound adversarial chains. The jump self-joins the
-    * propagated frame inside ONE job — the subtree computes twice per
-    * round, but no extra materialization/barrier is added, and at
-    * 10^12-row scale each round stays a fixed-size shuffle keyed by
-    * node id with nothing driver-side; the DAG is truncated with
-    * localCheckpoint per round so the plan doesn't grow. */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * TWO TIERS, picked by measured edge count:
+    *
+    *  - `nEdges ≤ driverMaxEdges` (default 2^20 ≈ 16 MB of longs) —
+    *    union-find with path compression ON THE DRIVER. Duplicate
+    *    graphs are sparse survivors of the pair-producing tiers, so
+    *    this is the overwhelmingly common case, and a distributed
+    *    iterative dance over a few thousand edges is pure scheduling
+    *    overhead (measured: 2.8 s for 3 rounds over 2 000 nodes at
+    *    local[32] vs ~0.4 s collected). Same philosophy as Spark's own
+    *    broadcast threshold: below a size floor, distribution costs
+    *    more than it buys.
+    *  - above the threshold — iterative min-label propagation WITH path
+    *    halving. Each round, every node takes the min of its own label
+    *    and its neighbors' labels, then jumps one pointer step
+    *    (label := label's label) — the classic shortcut that turns
+    *    O(diameter) rounds into O(log diameter) (Kiveris et al. 2014's
+    *    star operations are the same idea). Near-dup components are
+    *    shallow in practice (stars/cliques around a template) so rounds
+    *    stay low single-digit either way; the `maxIter` guard and the
+    *    convergence check (a metadata-sized aggregate, not a collect of
+    *    labels) bound adversarial chains. The jump self-joins the
+    *    propagated frame inside ONE job — the subtree computes twice
+    *    per round, but no extra materialization/barrier is added
+    *    (batching two steps per job and caching the intermediates both
+    *    measured SLOWER — the bench keeps the receipts), and at
+    *    10^12-row scale each round stays a fixed-size shuffle keyed by
+    *    node id with nothing driver-side; the DAG is truncated with
+    *    localCheckpoint per round so the plan doesn't grow.
+    *
+    * Both tiers return identical labels (DedupSpec forces the
+    * distributed tier with driverMaxEdges = 0 and asserts equality). */
+  def components(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
@@ -641,6 +657,23 @@ object Dedup {
         longId(pairs, "a").as("nbr")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // one job; also materializes the cache
+    if (nEdges <= driverMaxEdges) {
+      val arr = edges.collect() // cache hit — no recompute
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      // explicit schema + Rows, not a product-encoder toDF: keeps the
+      // construction free of TypeTag reflection (REPL-safe) and makes
+      // the non-null long schema explicit
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      driverComponents(arr).foreach { case (id, label) =>
+        rows.add(org.apache.spark.sql.Row(id, label))
+      }
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(rows, StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("label", LongType, nullable = false))))
+    }
     var labels = edges.groupBy($"id")
       .agg(min($"nbr").as("mn"))
       .select($"id", least($"id", $"mn").as("label"))
@@ -658,47 +691,32 @@ object Dedup {
         lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
-    var step = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // TWO propagation steps per materialization: the fixed per-round
-      // cost (job scheduling + localCheckpoint write + the labelSum
-      // aggregate) dominates each round's actual shuffle work on
-      // anything but huge graphs, so batching steps halves the job
-      // count at the price of at most one redundant step after the
-      // fixpoint (monotone min-propagation makes extra steps no-ops,
-      // so correctness is untouched).
-      var cur = labels.as("cur")
-      var k = 0
-      while (k < 2) {
-        // neighbor labels + own label, min per node
-        val prop = edges.join(cur.withColumnRenamed("id", "nbr"), "nbr")
-          .select($"id", $"label")
-          .union(cur)
-          .groupBy($"id").agg(min($"label").as("label"))
-        // path halving: label := min(label, label's label). Labels are
-        // always node ids of the same component (mins of node-id sets),
-        // so the lookup side is the SAME frame renamed; left join
-        // guards the (impossible by construction) miss. The very first
-        // step skips the jump: shallow components (stars/cliques — the
-        // common near-dup shape) are already at fixpoint after the
-        // initial least(id, min nbr), so the jump there is pure
-        // overhead; deep chains still halve from step 2 on.
-        cur = if (step == 0) prop
+      // neighbor labels + own label, min per node
+      val prop = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .select($"id", $"label")
+        .union(labels)
+        .groupBy($"id").agg(min($"label").as("label"))
+      // path halving: label := min(label, label's label). Labels are
+      // always node ids of the same component (mins of node-id sets),
+      // so the lookup side is the SAME frame renamed; left join guards
+      // the (impossible by construction) miss. Round 1 skips the jump:
+      // shallow components (stars/cliques — the common near-dup shape)
+      // are already at fixpoint after the initial least(id, min nbr),
+      // so the jump there is pure overhead; deep chains still halve
+      // from round 2 on.
+      // LAZY checkpoint: the labelSum aggregate right below is the
+      // materializing action, so each round costs ONE job (an eager
+      // checkpoint ran a second job per round just to persist)
+      val next = (if (iter == 0) prop
         else {
           val jump = prop.select($"id".as("jid"), $"label".as("jlabel"))
           prop.join(jump, prop("label") === jump("jid"), "left")
             .select(prop("id"),
               least(prop("label"), coalesce($"jlabel", prop("label")))
                 .as("label"))
-        }
-        step += 1
-        k += 1
-      }
-      // LAZY checkpoint: the labelSum aggregate right below is the
-      // materializing action, so each round costs ONE job (an eager
-      // checkpoint ran a second job per round just to persist)
-      val next = cur.localCheckpoint(eager = false) // truncate lineage
+        }).localCheckpoint(eager = false) // truncate lineage per round
       val s = labelSum(next)
       labels.unpersist()
       labels = next
@@ -708,6 +726,44 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Union-find with path compression + union-by-min over a collected
+    * edge list — the small-graph tier of [[components]]. Returns
+    * (id, minimal id of its component) for every id in `edges`.
+    * Roots carry the component min directly (union keeps the smaller
+    * root on top), so the final pass is pure find. */
+  private[operators] def driverComponents(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving: point to grandparent as we walk
+        val g = parent.getOrDefault(p, p)
+        parent.put(x, g)
+        x = g
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { // union by min: smaller id becomes the root
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val id = it.next()
+      out(i) = (id, find(id))
+      i += 1
+    }
+    out
   }
 
   /** Keep-policy materializer: one row per input doc with its duplicate-

@@ -295,6 +295,11 @@ class DedupSpec extends AnyFunSuite {
     (20L to 23L).foreach(i => assert(labels(i) == 20L, s"star node $i"))
     assert(labels(30L) == 30L && labels(31L) == 30L)
     assert(labels.size == 16)
+    // the two tiers must agree label-for-label: driverMaxEdges = 0
+    // forces the distributed propagation loop on the same graph
+    val distributed = Dedup.components(pairs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == labels)
   }
 
   test("components/keepPolicy on ZERO duplicate pairs: everyone keeps") {
@@ -302,6 +307,9 @@ class DedupSpec extends AnyFunSuite {
     // convergence label-sum must coalesce the empty-frame NULL, not NPE
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.components(empty).collect().isEmpty)
+    // negative threshold forces the DISTRIBUTED loop even on zero edges
+    // — the tier whose label-sum must coalesce the empty-frame NULL
+    assert(Dedup.components(empty, driverMaxEdges = -1L).collect().isEmpty)
     val policy = Dedup.keepPolicy(docs, "doc_id", empty).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(policy.size == 6)
