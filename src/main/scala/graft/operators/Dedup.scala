@@ -657,10 +657,15 @@ object Dedup {
         longId(pairs, "a").as("nbr")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count() // one job; also materializes the cache
-    if (nEdges <= driverMaxEdges) {
-      val arr = edges.collect() // cache hit — no recompute
-        .map(r => (r.getLong(0), r.getLong(1)))
+    // tier probe and small-tier fetch in ONE bounded job: collect at
+    // most driverMaxEdges+1 rows — if the limit truncated, the graph is
+    // big and the distributed loop takes over (edges stays persisted
+    // for it); otherwise we already hold the whole edge list. Never an
+    // unbounded collect.
+    val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
+    val probe = if (cap > 0) edges.limit(cap).collect() else Array.empty[org.apache.spark.sql.Row]
+    if (probe.length <= driverMaxEdges) {
+      val arr = probe.map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       // explicit schema + Rows, not a product-encoder toDF: keeps the
       // construction free of TypeTag reflection (REPL-safe) and makes
