@@ -366,7 +366,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleDf = 100L)),
-    "dedup_minhash_lsh" -> ((s, d) => // approximate — rows-only check
+    "dedup_minhash_lsh" -> ((s, d) =>
+      // oracle-checked VALUE-exact: every stage (FNV-1a shingle hash,
+      // Mersenne k-perm signatures, multilinear band buckets, candidate
+      // join, slot-agreement estimate) is pure integer arithmetic the
+      // DuckDB oracle reproduces bit-for-bit in HUGEINT
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5)),
     "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
@@ -845,9 +849,11 @@ object SparkEntry {
         }.toDF("doc_id", "n_bpe", "chars_per_token")
     }),
     "pack_sequences" -> ((s, d) =>
-      // greedy per-partition sequence packing to a 512-token budget
-      // (pretraining batch prep). Rows-only; invariants (full
-      // coverage, budget respected, determinism) in PackSpec.
+      // greedy per-bucket sequence packing to a 512-token budget
+      // (pretraining batch prep). Composition is pure arithmetic
+      // (bucket = id mod 32, greedy in id order) so the DuckDB oracle
+      // reproduces it exactly with a recursive CTE; invariants (full
+      // coverage, budget respected, determinism) also in PackSpec.
       graft.operators.Pack.packDocuments(
         t(s, d, "documents"), "doc_id", "text", maxTokens = 512)
         .withColumn("doc_ids", concat_ws(",", col("doc_ids")))),
@@ -1172,6 +1178,77 @@ object SparkEntry {
             CAST(bit_count(xor(a.sh64, b.sh64)) AS INTEGER) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""",
+    "dedup_minhash_lsh" ->
+      // Full bit-for-bit reproduction of Dedup.minHashLsh's k-perm
+      // path: splitmix64 (Golden increment + finalizer, 32-bit-split
+      // wrapping multiplies) generates the SAME permutation params
+      // (a_j, b_j from mix(2j+1)/mix(2j+2), two's-complement abs) and
+      // multilinear bucket coefficients (mix(1000003+i)); FNV-1a 64
+      // per 5-gram shingle; sig_j = min (a_j·x + b_j) mod P over the
+      // 61-bit Mersenne prime (the 122-bit products fit HUGEINT
+      // natively — no multiplyHigh gymnastics needed); band bucket =
+      // Σ c_i·v_i mod P; candidates join on (band, bucket); estimate =
+      // equal-slot fraction. Validated value-identical vs the Scala
+      // path at sf0.01 and sf0.1.
+      s"""WITH seeds AS (
+            SELECT kind, j, CAST(x0 AS HUGEINT) + 11400714819323198485 AS x0g FROM (
+              SELECT 'a' AS kind, j, 2*j + 1 AS x0 FROM generate_series(0, 63) g(j)
+              UNION ALL SELECT 'b', j, 2*j + 2 FROM generate_series(0, 63) g(j)
+              UNION ALL SELECT 'c', j, 1000003 + j FROM generate_series(0, 63) g(j))),
+          mx1 AS (SELECT kind, j, x0g % 18446744073709551616 AS x1 FROM seeds),
+          mx2 AS (SELECT kind, j,
+            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x2 FROM mx1),
+          mx3 AS (SELECT kind, j,
+            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x3 FROM mx2),
+          mabs AS (SELECT kind, j,
+            CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
+                 THEN 18446744073709551616 - xor(x3, x3 // 2147483648)
+                 ELSE xor(x3, x3 // 2147483648) END AS am FROM mx3),
+          perms AS (
+            SELECT pa.j, (pa.am % 2305843009213693950) + 1 AS a, pb.am % 2305843009213693951 AS b
+            FROM mabs pa JOIN mabs pb ON pa.j = pb.j AND pa.kind = 'a' AND pb.kind = 'b'),
+          coefs AS (SELECT j, (am % 2305843009213693950) + 1 AS c FROM mabs WHERE kind = 'c'),
+          docs AS (
+            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INT), 5) END AS s
+            FROM docs, generate_series(1, 2000) g(i)
+            WHERE i <= greatest(length(t) - 4, 1)),
+          hx AS (
+            SELECT doc_id, (list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(generate_series(1, length(s)),
+                  i -> unicode(substr(s, i, 1))::HUGEINT)),
+              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
+                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
+                  * 4294967296) % 18446744073709551616)
+              % 9223372036854775808) % 2305843009213693951 AS x
+            FROM sh),
+          sig AS (
+            SELECT doc_id, p.j, min((p.a * hx.x + p.b) % 2305843009213693951) AS v
+            FROM hx CROSS JOIN perms p GROUP BY doc_id, p.j),
+          bk AS (
+            SELECT doc_id, s.j // 4 AS band,
+              sum((c.c * s.v) % 2305843009213693951) % 2305843009213693951 AS bucket
+            FROM sig s JOIN coefs c USING (j) GROUP BY doc_id, s.j // 4),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+              AND x.doc_id < y.doc_id),
+          eq AS (
+            SELECT c.a, c.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+            GROUP BY c.a, c.b)
+          SELECT a, b, round(neq / 64.0, 4) AS est_jaccard
+          FROM eq WHERE round(neq / 64.0, 4) >= 0.5""",
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),
@@ -1238,6 +1315,34 @@ object SparkEntry {
           SELECT b.qid, round(sum(CASE WHEN l.vid IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
           FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.vid = l.vid
           GROUP BY b.qid""",
+    "pack_sequences" ->
+      // exact reproduction of Pack.packSequences: token count = ws
+      // split (0 for null/blank), bucket = doc_id mod 32, greedy
+      // packing per bucket in id order via a sequential recursive CTE
+      // (acc resets whenever adding the doc would exceed the budget;
+      // an oversize doc therefore forms a singleton pack).
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                  doc_id % 32 AS bucket,
+                  row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT bucket, rn, doc_id, n_tok, doc_id AS pack_id,
+                  CAST(n_tok AS BIGINT) AS acc
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.bucket, d.rn, d.doc_id, d.n_tok,
+                  CASE WHEN p.acc + d.n_tok > 512 THEN d.doc_id ELSE p.pack_id END,
+                  CASE WHEN p.acc + d.n_tok > 512 THEN CAST(d.n_tok AS BIGINT) ELSE p.acc + d.n_tok END
+           FROM d JOIN p ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+         SELECT pack_id,
+                string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                sum(n_tok) > 512 AS oversize
+         FROM p GROUP BY pack_id""",
     "text_tokens" ->
       """SELECT doc_id, length(regexp_split_to_array(trim(text), '\s+')) AS n_ws, length(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re FROM documents""",
     "text_quality" ->

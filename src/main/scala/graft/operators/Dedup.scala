@@ -139,6 +139,38 @@ object Dedup {
     r
   }
 
+  /** splitmix-derived multilinear coefficients for [[bandBucket]] —
+    * input space disjoint from [[perm]]'s (offset 1,000,003 ≫ 2k+2). */
+  private[graft] def bucketCoef(idx: Int): Long = {
+    import graft.util.Mix.mix
+    (mix(1000003L + idx).abs % (P - 1)) + 1
+  }
+
+  /** Engine-independent band bucket: the multilinear hash
+    * Σ_r c_i·v_i mod P over the band's signature slice, where
+    * v_i = (sig_i & Long.MaxValue) mod P (identity for k-perm
+    * signatures, which are already < P; the mask+mod also admits OPH's
+    * full-63-bit values) and c_i = [[bucketCoef]](i) ∈ [1, P-1]. The
+    * multilinear family over Z_P is universal — collision probability
+    * ≤ 2^-61 per distinct slice pair — so bucket membership ≡ slice
+    * equality in practice, exactly like the Spark Murmur3
+    * `hash(slice(...))` it replaces. The difference: this is plain
+    * integer arithmetic ANY engine reproduces (the DuckDB oracle
+    * recomputes it in HUGEINT), while Murmur3-of-array-of-long is a
+    * Spark implementation detail no other engine exposes. */
+  private[graft] def bandBucket(sig: Array[Long], band: Int,
+      rowsPerBand: Int, coefs: Array[Long]): Long = {
+    var acc = 0L
+    var r = 0
+    while (r < rowsPerBand) {
+      val i = band * rowsPerBand + r
+      acc += mulModP(coefs(i), (sig(i) & Long.MaxValue) % P)
+      if (acc >= P) acc -= P // acc + mulModP < 2P < 2^62: no overflow
+      r += 1
+    }
+    acc
+  }
+
   /** Row-local MinHash signature of a shingle set. Pure Scala — called
     * from a typed map, one pass over shingles for all k hashes;
     * coefficient tables are primitive arrays hoisted per JVM. Each slot
@@ -288,11 +320,13 @@ object Dedup {
     // side carries ONLY (band, bucket, id) — shuffling the 64-long
     // signature bands× per doc (~8 KB/doc) dominated the exchange at
     // scale; signatures are re-joined once per side AFTER the pair
-    // distinct, when candidates are few.
-    val buckets = sigs.select($"id",
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice($"sig", b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-        .as(Seq("band", "bucket")))
+    // distinct, when candidates are few. The bucket is [[bandBucket]]'s
+    // multilinear Mersenne hash (not Spark's Murmur3 `hash()`) so the
+    // DuckDB oracle reproduces candidate generation exactly.
+    val coefs = Array.tabulate(numHashes)(bucketCoef)
+    val buckets = sigs.flatMap { r =>
+      Iterator.tabulate(bands)(b => (r.id, b, bandBucket(r.sig, b, rowsPerBand, coefs)))
+    }.toDF("id", "band", "bucket")
     val pairs = buckets.select($"band", $"bucket", $"id".as("a"))
       .join(buckets.select($"band", $"bucket", $"id".as("b")),
         Seq("band", "bucket"))

@@ -10,13 +10,24 @@ import org.apache.spark.sql.functions._
   * greedy order allows).
   *
   * Distribution model: packing is inherently sequential, so it runs
-  * GREEDILY WITHIN each partition (`mapPartitions`), docs in ascending
-  * id order; partitions pack independently and in parallel — the
-  * universal recipe, since cross-partition packing would serialize the
-  * corpus through one task for at most one partial pack's worth of
-  * extra fill per partition. Pack ids are the first doc id of the pack
-  * (globally unique, deterministic — no monotonically_increasing_id,
-  * whose values depend on the partition layout).
+  * GREEDILY WITHIN each bucket (`id % numPartitions`), docs in
+  * ascending id order; buckets pack independently and in parallel —
+  * the universal recipe, since cross-bucket packing would serialize
+  * the corpus through one task for at most one partial pack's worth
+  * of extra fill per bucket. Pack ids are the first doc id of the
+  * pack (globally unique, deterministic — no
+  * monotonically_increasing_id, whose values depend on the partition
+  * layout).
+  *
+  * The bucket is `pmod(id, numPartitions)` — plain modular
+  * arithmetic, NOT the engine's hash partitioner — so pack
+  * composition is a pure function of (ids, token counts, maxTokens,
+  * numPartitions) that any engine (or the DuckDB oracle's recursive
+  * CTE, see `SparkEntry.oracleSql("pack_sequences")`) reproduces
+  * bit-for-bit. Several mod-buckets may co-reside in one Spark
+  * partition (the shuffle hashes the bucket column); the packer
+  * flushes at bucket boundaries so co-residence never leaks into
+  * composition.
   */
 object Pack {
 
@@ -32,26 +43,30 @@ object Pack {
     * flagged `oversize` — the caller decides truncate vs drop.
     *
     * `numPartitions` is EXPLICIT (not the session's shuffle-partition
-    * config) because pack composition depends on which ids co-reside in
-    * a partition: pinning it makes the output deterministic across
+    * config) because pack composition depends on which ids share a
+    * mod-bucket: pinning it makes the output deterministic across
     * engines/configs, not merely per-config. */
   def packSequences(docs: Dataset[(Long, Int)],
       maxTokens: Int, numPartitions: Int = 32): Dataset[PackRow] = {
     import docs.sparkSession.implicits._
     docs.toDF("id", "n_tok")
-      .repartition(numPartitions, col("id"))
-      .sortWithinPartitions(col("id"))
-      .as[(Long, Int)]
+      .withColumn("bucket", pmod(col("id"), lit(numPartitions.toLong)))
+      .repartition(numPartitions, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .select(col("bucket"), col("id"), col("n_tok"))
+      .as[(Long, Long, Int)]
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[PackRow]
         val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
         var tok = 0L
+        var cur = -1L // current bucket; flush when it changes
         def flush(): Unit = if (ids.nonEmpty) {
           out += PackRow(ids.head, ids.toSeq, ids.length, tok,
             oversize = tok > maxTokens)
           ids.clear(); tok = 0L
         }
-        it.foreach { case (id, n) =>
+        it.foreach { case (b, id, n) =>
+          if (b != cur) { flush(); cur = b }
           if (ids.nonEmpty && tok + n > maxTokens) flush()
           ids += id; tok += n
           if (tok > maxTokens) flush() // oversize singleton
