@@ -373,7 +373,11 @@ object SparkEntry {
       // DuckDB oracle reproduces bit-for-bit in HUGEINT
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5)),
-    "dedup_minhash_oph" -> ((s, d) => // one-permutation-hashing scale path
+    "dedup_minhash_oph" -> ((s, d) =>
+      // one-permutation-hashing scale path — oracle-checked VALUE-exact
+      // like the k-perm tier: per-band splitmix bin assignment,
+      // distance-tagged cyclic densification, multilinear buckets and
+      // the slot-agreement estimate are all reproduced in DuckDB
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5, oph = true)),
     "dedup_repeated_spans" -> ((s, d) =>
@@ -444,15 +448,17 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosine(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, anchorMod = 10L)),
-    "dedup_embedding_lsh" -> ((s, d) => // full-corpus scale path; rows-only
+    "dedup_embedding_lsh" -> ((s, d) => // full-corpus scale path
       // NOTE on the 0.4 threshold: sign-sketch buckets are designed for
       // NEAR-DUP similarity (cos ≈ 1, where sketches differ ≤1 bit and
       // multi-probe guarantees recall — DedupSpec proves it on planted
       // copies); at cos 0.4 the per-pair bucket-collision probability is
       // (1 - θ/π)^planes ≈ 0.03, and measured recall vs the exact
       // all-pairs set is 8/59 at sf0.01 — the sketch is a low-recall
-      // sampler down there BY DESIGN, which is why the tier is rows-only
-      // and the exact anchored/verified tiers carry the oracle checks.
+      // sampler down there BY DESIGN. That sampling is DETERMINISTIC
+      // (splitmix planes + sign buckets + hamming-1 probe), so the
+      // DuckDB oracle reproduces the exact candidate set and output —
+      // the tier is value-exact, low recall and all.
       Dedup.embeddingCosineLsh(t(s, d, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.4, planes = 8)),
     "sim_norms" -> ((s, d) => {
@@ -1249,6 +1255,135 @@ object SparkEntry {
             GROUP BY c.a, c.b)
           SELECT a, b, round(neq / 64.0, 4) AS est_jaccard
           FROM eq WHERE round(neq / 64.0, 4) >= 0.5""",
+    "dedup_minhash_oph" ->
+      // Bit-for-bit reproduction of the OPH path (signatureOph):
+      // per distinct 5-gram shingle, h = FNV-1a 64; per band,
+      // b = splitmixFIN(h XOR (band+1)·Golden) (finalizer only — no
+      // Golden increment, matching Mix.fin), bin = (b mod 2^63) mod 4,
+      // slot value v = (b·0xff51afd7ed558ccd mod 2^64) mod 2^63, min
+      // per bin; empty bins densify from the nearest non-empty bin in
+      // the same band (cyclic, +d·FNVprime distance tag — the COALESCE
+      // encodes increasing d exactly); multilinear Mersenne buckets and
+      // the slot-agreement estimate as in the k-perm oracle.
+      s"""WITH cm1 AS (
+            SELECT j, (1000003 + j + 11400714819323198485)::HUGEINT % 18446744073709551616 AS x1
+            FROM generate_series(0, 63) g(j)),
+          cm2 AS (SELECT j,
+            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x2 FROM cm1),
+          cm3 AS (SELECT j,
+            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x3 FROM cm2),
+          coefs AS (SELECT j,
+            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
+                  THEN 18446744073709551616 - xor(x3, x3 // 2147483648)
+                  ELSE xor(x3, x3 // 2147483648) END % 2305843009213693950) + 1 AS c
+            FROM cm3),
+          docs AS (
+            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+            WHERE length(trim(coalesce(text, ''))) > 0),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INT), 5) END AS s
+            FROM docs, generate_series(1, 2000) g(i)
+            WHERE i <= greatest(length(t) - 4, 1)),
+          hx AS (
+            SELECT doc_id, list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(generate_series(1, length(s)),
+                  i -> unicode(substr(s, i, 1))::HUGEINT)),
+              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
+                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
+                  * 4294967296) % 18446744073709551616) AS h
+            FROM sh),
+          hb0 AS (
+            SELECT doc_id, band,
+              xor(h, ((band + 1)::HUGEINT * 11400714819323198485) % 18446744073709551616) AS z0
+            FROM hx, generate_series(0, 15) g(band)),
+          hb1 AS (SELECT doc_id, band,
+            ((xor(z0, z0 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(z0, z0 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS z1 FROM hb0),
+          hb2 AS (SELECT doc_id, band,
+            ((xor(z1, z1 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(z1, z1 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS z2 FROM hb1),
+          hb3 AS (SELECT doc_id, band, xor(z2, z2 // 2147483648) AS b FROM hb2),
+          binv AS (
+            SELECT doc_id, band,
+              CAST((b % 9223372036854775808) % 4 AS INT) AS bin,
+              ((b % 4294967296) * 18397679294719823053
+               + (((b // 4294967296) * 18397679294719823053) % 4294967296) * 4294967296)
+              % 18446744073709551616 % 9223372036854775808 AS v
+            FROM hb3),
+          mins AS (
+            SELECT doc_id, band, bin, min(v) AS v FROM binv GROUP BY 1, 2, 3),
+          piv AS (
+            SELECT doc_id, band,
+              [min(CASE WHEN bin = 0 THEN v END), min(CASE WHEN bin = 1 THEN v END),
+               min(CASE WHEN bin = 2 THEN v END), min(CASE WHEN bin = 3 THEN v END)] AS arr
+            FROM mins GROUP BY 1, 2),
+          sig AS (
+            SELECT doc_id, band * 4 + j AS j,
+              COALESCE(arr[j + 1],
+                arr[((j + 1) % 4) + 1] + 1099511628211,
+                arr[((j + 2) % 4) + 1] + 2 * 1099511628211,
+                arr[((j + 3) % 4) + 1] + 3 * 1099511628211) AS v
+            FROM piv, generate_series(0, 3) g(j)),
+          bk AS (
+            SELECT doc_id, s.j // 4 AS band,
+              sum((c.c * ((s.v % 18446744073709551616) % 9223372036854775808 % 2305843009213693951))
+                  % 2305843009213693951) % 2305843009213693951 AS bucket
+            FROM sig s JOIN coefs c USING (j) GROUP BY doc_id, s.j // 4),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+              AND x.doc_id < y.doc_id),
+          eq AS (
+            SELECT c.a, c.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.a
+            JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+            GROUP BY c.a, c.b)
+          SELECT a, b, round(neq / 64.0, 4) AS est_jaccard
+          FROM eq WHERE round(neq / 64.0, 4) >= 0.5""",
+    "dedup_embedding_lsh" ->
+      // Exact reproduction of embeddingCosineLsh(planes=8, multiProbe):
+      // the a-side probes every bucket within hamming 1 of its own and
+      // joins b's exact bucket, so the candidate set is precisely
+      // {a<b : bit_count(bucket_a XOR bucket_b) <= 1}. Plane components
+      // are splitmix64 of (p<<32 | d) — identical construction to the
+      // sim_ann_lsh_recall oracle, 8 planes here.
+      """WITH pd AS (
+            SELECT p, d, (p::HUGEINT * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS x1
+            FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+          m2 AS (SELECT p, d,
+            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x2 FROM pd),
+          m4 AS (SELECT p, d,
+            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x3 FROM m2),
+          comp AS (SELECT p, d,
+            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
+                  THEN xor(x3, x3 // 2147483648) - 18446744073709551616
+                  ELSE xor(x3, x3 // 2147483648) END)::DOUBLE / 9223372036854775807 AS c
+            FROM m4),
+          planes AS (SELECT p, list(c ORDER BY d) AS pv FROM comp GROUP BY p),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE embedding IS NOT NULL),
+          bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(vec, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+                 FROM v CROSS JOIN planes GROUP BY vec_id),
+          c AS (SELECT v.vec_id, vec, bucket FROM v JOIN bk USING (vec_id))
+          SELECT a, b, sim FROM (
+            SELECT x.vec_id AS a, y.vec_id AS b,
+              round(list_dot_product(x.vec, y.vec) /
+                (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))), 4) AS sim
+            FROM c x JOIN c y ON x.vec_id < y.vec_id
+              AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+          WHERE sim >= 0.4""",
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),
