@@ -75,16 +75,33 @@ final class HashedLinearLid(
     var n = 1
     while (n <= 4) { if (L >= n) total += L - n + 1; n += 1 }
     val out = new Array[Int](total)
-    var kk = 0
-    n = 1
-    while (n <= 4) {
-      var i = 0
-      while (i + n <= L) {
-        out(kk) = Detectors.ngramHash(t, i, i + n, dim)
-        kk += 1
-        i += 1
+    // FNV-1a extends one char at a time, so the order-(n+1) hash at
+    // position i is one step past the order-n hash at i: roll the hash
+    // per start position instead of rehashing each window from scratch
+    // (4L char steps vs ~10L). Output layout/content is BIT-IDENTICAL
+    // to the per-window `ngramHash` loop (n=1 block, then n=2, ...),
+    // so trained weights and predictions are unchanged.
+    val off2 = L            // block offsets: the n-gram block starts
+    val off3 = off2 + math.max(L - 1, 0) // after all shorter blocks
+    val off4 = off3 + math.max(L - 2, 0)
+    var i = 0
+    while (i < L) {
+      var h = 0x811c9dc5
+      h ^= t.charAt(i); h *= 0x01000193
+      out(i) = (h & 0x7fffffff) % dim
+      if (i + 2 <= L) {
+        h ^= t.charAt(i + 1); h *= 0x01000193
+        out(off2 + i) = (h & 0x7fffffff) % dim
+        if (i + 3 <= L) {
+          h ^= t.charAt(i + 2); h *= 0x01000193
+          out(off3 + i) = (h & 0x7fffffff) % dim
+          if (i + 4 <= L) {
+            h ^= t.charAt(i + 3); h *= 0x01000193
+            out(off4 + i) = (h & 0x7fffffff) % dim
+          }
+        }
       }
-      n += 1
+      i += 1
     }
     out
   }
@@ -563,6 +580,14 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
   private val counts = new scala.collection.mutable.LongMap[Int]
   private val contexts = new scala.collection.mutable.LongMap[Int]
   private var charVocab = 64.0
+  // the full interpolated char probability at position i >= 2 depends
+  // only on the 3-char window s[i-2..i], so it is precomputed per
+  // trained trigram (w1*p1 + w2*p2 + w3*p3 in the same order => the
+  // cached double is BIT-IDENTICAL to the slow path). One lookup per
+  // scored char instead of six; unseen trigrams (whose lower-order
+  // parts may still be trained) fall back to the slow path. Built once
+  // in train, read-only afterwards — safe under concurrent predict.
+  private val triProb = new scala.collection.mutable.LongMap[Double]
 
   /** Pack s[from..until) (until-from <= 3) into a tagged Long key.
     * The length tag (empty ctx = 1) is OR'd after the char loop — chars
@@ -596,6 +621,19 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
       }
     }
     charVocab = math.max(seen.size.toDouble, 16.0)
+    // precompute the interpolated probability for every trained trigram
+    // (tag 4 = 3-char keys; see pack): reconstruct the window and run
+    // the exact slow-path arithmetic once per distinct trigram
+    if (maxOrder == 3) counts.keysIterator.filter(k2 => (k2 >>> 48) == 4).foreach { key =>
+      val w = new String(Array(
+        ((key >>> 32) & 0xffff).toChar,
+        ((key >>> 16) & 0xffff).toChar,
+        (key & 0xffff).toChar))
+      var p = 0.0
+      var o = 1
+      while (o <= maxOrder) { p += orderWeights(o - 1) * condProb(w, 2, o); o += 1 }
+      triProb(key) = p
+    }
     this
   }
 
@@ -613,10 +651,22 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
     val s = "" + text.toLowerCase + ""
     var logSum = 0.0
     var i = 1
+    val cached = maxOrder == 3
     while (i < s.length) {
-      var p = 0.0
-      var o = 1
-      while (o <= maxOrder) { p += orderWeights(o - 1) * condProb(s, i, o); o += 1 }
+      // hot path: one packed-window key + one lookup per char (i >= 2);
+      // positions with truncated context and cache misses (untrained
+      // trigrams) take the exact slow path. Probs are strictly positive,
+      // so -1.0 is a safe miss sentinel (no boxing, single probe).
+      var p = if (cached && i >= 2) {
+        val key = (4L << 48) | (s.charAt(i - 2).toLong << 32) |
+          (s.charAt(i - 1).toLong << 16) | s.charAt(i)
+        triProb.getOrElse(key, -1.0)
+      } else -1.0
+      if (p < 0.0) {
+        p = 0.0
+        var o = 1
+        while (o <= maxOrder) { p += orderWeights(o - 1) * condProb(s, i, o); o += 1 }
+      }
       logSum += math.log(p)
       i += 1
     }
