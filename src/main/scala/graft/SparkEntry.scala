@@ -366,6 +366,16 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleDf = 100L)),
+    "text_decontaminate" -> ((s, d) => {
+      // benchmark = the deterministic doc_id % 29 slice (an eval-suite
+      // stand-in); training side = everything else. Flags training docs
+      // sharing any 10-char shingle with the benchmark.
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 10, minHits = 1)
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       // oracle-checked VALUE-exact: every stage (FNV-1a shingle hash,
       // Mersenne k-perm signatures, multilinear band buckets, candidate
@@ -1121,6 +1131,21 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "text_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+          bsh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 10) AS shingle
+                  FROM docs, generate_series(1, 2000) g(i)
+                  WHERE doc_id % 29 = 0 AND length(t) > 0
+                    AND i <= greatest(length(t) - 9, 1)),
+          dsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 10) AS shingle
+                  FROM docs, generate_series(1, 2000) g(i)
+                  WHERE doc_id % 29 <> 0 AND length(t) > 0
+                    AND i <= greatest(length(t) - 9, 1)),
+          tot AS (SELECT doc_id, count(*) AS total FROM dsh GROUP BY 1),
+          hit AS (SELECT doc_id, count(*) AS hits FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
+          SELECT h.doc_id AS id, hits, total,
+                 round(CAST(hits AS DOUBLE) / total, 4) AS rate
+          FROM hit h JOIN tot USING (doc_id) WHERE hits >= 1""",
     "dedup_repeated_spans" ->
       // true winnowing: every 8-window of hash positions selects its
       // RIGHTMOST minimum. Key = md5hex || lpad(100000-pos): min(key)

@@ -646,12 +646,18 @@ final class CharLm(orderWeights: Array[Double] = Array(0.1, 0.3, 0.6))
   }
 
   /** Per-character perplexity; +Infinity-free (capped by smoothing). */
-  def perplexity(text: String): Double = {
+  def perplexity(text: String): Double = perplexityImpl(text, maxOrder == 3)
+
+  /** Cache-bypassed twin (test hook): the spec asserts bit-equality of
+    * the cached and uncached paths over arbitrary input. */
+  private[graft] def perplexityUncached(text: String): Double =
+    perplexityImpl(text, cached = false)
+
+  private def perplexityImpl(text: String, cached: Boolean): Double = {
     if (text == null || text.isEmpty) return 1e6
     val s = "" + text.toLowerCase + ""
     var logSum = 0.0
     var i = 1
-    val cached = maxOrder == 3
     while (i < s.length) {
       // hot path: one packed-window key + one lookup per char (i >= 2);
       // positions with truncated context and cache misses (untrained

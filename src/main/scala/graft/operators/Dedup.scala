@@ -105,6 +105,45 @@ object Dedup {
       .select($"a", $"b", $"jaccard")
   }
 
+  /** Benchmark decontamination — the training-pipeline gate that keeps
+    * evaluation data out of the training corpus: flag every training doc
+    * sharing at least `minHits` distinct char n-shingles with any
+    * benchmark text. Returns (id, hits, total, rate) per flagged doc,
+    * where total is the doc's distinct-shingle count and
+    * rate = hits/total (the contamination fraction callers threshold
+    * on; n ≈ 8-13 chars ~ the 8-13-token n-gram overlap rule used by
+    * large-corpus decontamination pipelines, e.g. GPT-3 appendix C /
+    * Gopher's train-test overlap analysis).
+    *
+    * Scale shape: the BENCHMARK side is small by construction (eval
+    * suites are thousands of docs, not billions), so its distinct
+    * shingle set is broadcast — the training side stays a narrow
+    * shingle-explode + broadcast-hash semi-join with ONE shuffle, the
+    * per-doc counter groupBy keyed by doc id. Never an all-pairs join;
+    * the training corpus is touched once. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 10, minHits: Long = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(longId(docs, idCol).as("id"),
+      normText(col(textCol)).as("t"))
+      .filter(length($"t") > 0)
+      .select($"id", shingleCol($"t", n).as("shs"))
+      // distinct-shingle total rides along with the explode — no second
+      // pass over the text and no extra shuffle to recover it later
+      .select($"id", size($"shs").cast("long").as("total"),
+        explode($"shs").as("shingle"))
+    val benchSh = bench.select(normText(col(textCol)).as("t"))
+      .filter(length($"t") > 0)
+      .select(explode(shingleCol($"t", n)).as("shingle"))
+      .distinct()
+    d.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy($"id", $"total").agg(count(lit(1)).as("hits"))
+      .filter($"hits" >= minHits)
+      .select($"id", $"hits", $"total",
+        round($"hits" / $"total", 4).as("rate"))
+  }
+
   // ------------------------------------------------------------- MinHash
   /** Deterministic permutation constants for h_i(x) = (a_i·x + b_i) mod p
     * over a 61-bit Mersenne prime — standard MinHash construction. */

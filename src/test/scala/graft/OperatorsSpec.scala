@@ -36,6 +36,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("decontaminate flags only docs sharing an n-shingle with the " +
+      "benchmark, with exact hit/total counts") {
+    val bench = Seq((100L, "the secret benchmark passage nobody should train on"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains a verbatim benchmark span (> n chars)
+      (1L, "intro text then the secret benchmark passage nobody saw plus outro"),
+      // clean doc, no 10-char overlap
+      (2L, "ein ganz anderer deutscher text über etwas völlig anderes"),
+      // blank doc: no shingles, never flagged
+      (3L, "   ")
+    ).toDF("doc_id", "text")
+    val r = Dedup.decontaminate(train, bench, "doc_id", "text",
+      n = 10, minHits = 1).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L), r.mkString("|"))
+    val row = r.head
+    val hits = row.getLong(1)
+    val total = row.getLong(2)
+    // exact expected hit count: distinct 10-char windows of doc 1 that
+    // are also windows of the benchmark text — the shared region is
+    // "the secret benchmark passage nobody s" (38 chars => 29 windows,
+    // all distinct here)
+    val norm1 = "intro text then the secret benchmark passage nobody saw plus outro"
+    val normB = "the secret benchmark passage nobody should train on"
+    val w1 = (0 to norm1.length - 10).map(i => norm1.substring(i, i + 10)).toSet
+    val wB = (0 to normB.length - 10).map(i => normB.substring(i, i + 10)).toSet
+    assert(hits == (w1 & wB).size.toLong)
+    assert(total == w1.size.toLong)
+    assert(math.abs(row.getDouble(3) - hits.toDouble / total) < 1e-4)
+  }
+
   test("null/blank transcripts never co-cluster in any batch tier") {
     // same contract as the streaming dedup: nothing to compare = not a
     // duplicate; empty docs keep themselves (their payloads survive)
