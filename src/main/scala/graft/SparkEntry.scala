@@ -36,6 +36,49 @@ object SparkEntry {
   /** Audio dedup fixture: n originals (distinct synth seeds) plus one
     * planted copy per 10th clip — volume-scaled 0.85x with fresh small
     * jitter — ids n+k for original k*10. */
+  /** Non-stationary "melody" clip: 8 concatenated tone segments (1024
+    * samples each) — peaks move every ~4 frames, so landmark hashes
+    * carry temporal structure (a pure tone's (f, f, dt) hashes are
+    * anchor-independent and cannot be offset-aligned). */
+  private[graft] def melodyClip(seed: Long): Array[Short] = {
+    val out = new Array[Short](8192)
+    var g = 0
+    while (g < 8) {
+      val seg = graft.codec.Audio.synth(seed * 31 + g, 8000, 1024)
+      System.arraycopy(seg, 0, out, g * 1024, 1024)
+      g += 1
+    }
+    out
+  }
+
+  /** Melody corpus with planted TIME-SHIFTED copies: every 10th clip
+    * reappears as id n+k, delayed by 512 samples (= exactly 2 hops of
+    * the landmark framing), volume-scaled and re-noised — the shape the
+    * whole-clip band-energy tier cannot pair but landmark alignment
+    * can. */
+  private[graft] def audioMelodyCorpus(s: SparkSession, n: Long): DataFrame = {
+    import s.implicits._
+    val base = s.range(0, n, 1, 8).map { i =>
+      (i.toLong, "pcm_s16le",
+        graft.codec.Audio.pcm16Encode(melodyClip(i)))
+    }
+    val dups = s.range(0, n / 10, 1, 8).map { k =>
+      val pcm = melodyClip(k * 10)
+      val mod = new Array[Short](pcm.length)
+      var st = k * 977L
+      var i = 512 // leading 512-sample silence = 2-hop delay
+      while (i < pcm.length) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        val jit = ((st >>> 33) % 120L) - 60L
+        mod(i) = math.max(Short.MinValue,
+          math.min(Short.MaxValue, (pcm(i - 512) * 0.7 + jit).toInt)).toShort
+        i += 1
+      }
+      (n + k, "pcm_s16le", graft.codec.Audio.pcm16Encode(mod))
+    }
+    base.union(dups).toDF("id", "codec", "bytes")
+  }
+
   private[graft] def audioDedupCorpus(s: SparkSession, n: Long): DataFrame = {
     import s.implicits._
     val base = s.range(0, n, 1, 8).map { i =>
@@ -439,6 +482,15 @@ object SparkEntry {
       // must pair (k*10, n+k) without an all-pairs waveform compare.
       // Rows-only here; recall proven in DedupSpec.
       Dedup.audioNearDup(audioDedupCorpus(s, 2000L), "id", "bytes", "codec")
+    }),
+    "dedup_audio_fingerprint" -> ((s, _) => {
+      // offset-robust landmark matching: every 10th melody clip has a
+      // 2-hop-delayed, volume-scaled, re-noised copy — the planted pairs
+      // must surface with the correct alignment offset. Rows-only (FFT
+      // landmarks are not SQL); exact recovery pinned in DedupSpec and
+      // QueriesSpec.
+      Dedup.audioFingerprintMatch(audioMelodyCorpus(s, 1000L),
+        "id", "bytes", "codec", minMatches = 12)
     }),
     "dedup_audio_keep" -> ((s, _) => {
       // full audio dedup composed end-to-end: near-dup pairs →

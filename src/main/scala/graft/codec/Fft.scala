@@ -249,6 +249,78 @@ object Fft {
     best
   }
 
+  /** Spectral-peak landmark fingerprints (Wang 2003, the Shazam
+    * constellation scheme): per half-overlapped frame, keep the
+    * `peaksPerFrame` strongest LOCAL-MAX bins; pair each peak with up
+    * to `fanout` peaks in the next 1..`maxDt` frames and hash
+    * (f1, f2, dt) into an int. Each returned Long packs
+    * (hash << 32) | anchorFrame.
+    *
+    * Why this exists next to [[bandEnergies]]: the band-energy cosine
+    * tier compares WHOLE-clip spectra, so a copy shifted in time decoheres
+    * (energy lands in the same bands only if content is stationary).
+    * Landmark hashes are relative (f1, f2, Δt) — invariant to time
+    * offset (the anchor frame shifts, the hash doesn't) and to volume
+    * scaling (argmax bins are scale-invariant) — so a delayed re-noised
+    * copy still shares most hashes, and the match offset is recoverable
+    * as the constant anchor-frame difference
+    * ([[graft.operators.Dedup.audioFingerprintMatch]] histograms it).
+    * Returns null for clips shorter than one frame or with no peaks. */
+  def peakLandmarks(samples: Array[Short], frameLen: Int = 512,
+      peaksPerFrame: Int = 3, fanout: Int = 3,
+      maxDt: Int = 8): Array[Long] = {
+    if (samples == null || samples.length < frameLen) return null
+    val hop = frameLen / 2
+    val nBins = frameLen / 2 + 1
+    val frame = new Array[Double](frameLen)
+    // per-frame selected peak bins, ascending (deterministic)
+    val framePeaks = new scala.collection.mutable.ArrayBuffer[Array[Int]]
+    var start = 0
+    while (start + frameLen <= samples.length) {
+      var i = 0
+      while (i < frameLen) { frame(i) = samples(start + i) / 32768.0; i += 1 }
+      val mag = magnitudeSpectrum(frame)
+      // local maxima, then the peaksPerFrame strongest (tie -> lower bin)
+      var cand = List.empty[Int]
+      i = 2
+      while (i < nBins - 1) {
+        if (mag(i) > mag(i - 1) && mag(i) >= mag(i + 1) && mag(i) > 1e-9)
+          cand = i :: cand
+        i += 1
+      }
+      val top = cand.sortBy(b => (-mag(b), b)).take(peaksPerFrame)
+        .sorted.toArray
+      framePeaks += top
+      start += hop
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    var t1 = 0
+    while (t1 < framePeaks.length) {
+      val ps = framePeaks(t1)
+      var pi = 0
+      while (pi < ps.length) {
+        val f1 = ps(pi)
+        var paired = 0
+        var dt = 1
+        while (dt <= maxDt && paired < fanout && t1 + dt < framePeaks.length) {
+          val qs = framePeaks(t1 + dt)
+          var qi = 0
+          while (qi < qs.length && paired < fanout) {
+            val f2 = qs(qi)
+            val hash = ((f1 & 0x3ff) << 16) | ((f2 & 0x3ff) << 6) | (dt & 0x3f)
+            out += (hash.toLong << 32) | t1.toLong
+            paired += 1
+            qi += 1
+          }
+          dt += 1
+        }
+        pi += 1
+      }
+      t1 += 1
+    }
+    if (out.isEmpty) null else out.toArray
+  }
+
   /** Mean spectral flux: the average L2 distance between consecutive
     * frames' L1-normalized magnitude spectra — the standard onset /
     * non-stationarity signal (≈0 for steady tones, large for content

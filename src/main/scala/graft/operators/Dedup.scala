@@ -1037,6 +1037,71 @@ object Dedup {
     * exactly one (band, salt) bucket — output is IDENTICAL to unsalted
     * (DedupSpec asserts equality), only the task-size distribution
     * changes. Default 1 = unsalted plan, byte-for-byte the r3 shape. */
+  /** Offset-robust audio duplicate matching via spectral-peak landmark
+    * fingerprints ([[graft.codec.Fft.peakLandmarks]], Wang 2003): a copy
+    * that is time-SHIFTED (leading silence, trimmed intro, concatenation
+    * offset) defeats the whole-clip band-energy cosine tier but shares
+    * most (f1, f2, Δt) landmark hashes — with every shared hash's anchor
+    * frames differing by the SAME offset. Candidates come from an
+    * inverted hash index (explode → equi-join), and the alignment
+    * histogram does the verification: a true match concentrates its
+    * shared hashes on one anchor-frame delta, random hash collisions
+    * spread across deltas. Returns (a, b, matches, frame_offset) where
+    * `matches` counts hashes agreeing on the dominant delta and
+    * frame_offset = t1(a) - t1(b) of that delta (sign = which clip
+    * leads).
+    *
+    * Scale shape: narrow decode+landmark pass (the one expensive map,
+    * computed once under an operator-owned persist), df-pruned inverted
+    * index (hot hashes — ubiquitous spectral motifs — are dropped
+    * exactly like stop-shingles in [[ngramJaccard]], which is what
+    * bounds the self-join on boilerplate audio), then ONE counter
+    * groupBy keyed by (a, b, delta). Landmarks per clip are O(frames ·
+    * peaksPerFrame · fanout) ≈ hundreds, and only (id, hash, t1) ints
+    * reach the exchange — never waveforms. */
+  def audioFingerprintMatch(df: DataFrame, idCol: String,
+      bytesCol: String, codecCol: String, minMatches: Long = 6,
+      maxHashDf: Long = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lm = df.select(longId(df, idCol).as("id"),
+      col(codecCol).as("codec"), col(bytesCol).as("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (id, codec, bytes) =>
+        val pcm = graft.codec.Audio.decode(codec, bytes)
+        val marks = if (pcm == null) null
+          else graft.codec.Fft.peakLandmarks(pcm)
+        if (marks == null) Iterator.empty
+        else marks.iterator.map(m =>
+          (id, (m >>> 32).toInt, (m & 0xffffffffL).toInt))
+      }
+      .toDF("id", "hash", "t1")
+      // deduplicate identical (hash, anchor) pairs so one anchor can't
+      // vote twice for the same delta
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = lm.groupBy($"hash")
+      .agg(countDistinct($"id").as("df"))
+      .filter($"df" <= maxHashDf).select($"hash")
+    val pruned = lm.join(rare, Seq("hash"))
+    val a = pruned.select($"hash", $"id".as("a"), $"t1".as("ta"))
+    val b = pruned.select($"hash", $"id".as("b"), $"t1".as("tb"))
+    val out = a.join(b, Seq("hash"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b", ($"ta" - $"tb").as("delta"))
+      .agg(count(lit(1)).as("cnt"))
+      // dominant delta per pair: max(struct) ties break toward the
+      // larger delta — deterministic
+      .groupBy($"a", $"b")
+      .agg(max(struct($"cnt", $"delta")).as("best"))
+      .select($"a", $"b", $"best.cnt".as("matches"),
+        $"best.delta".as("frame_offset"))
+      .filter($"matches" >= minMatches)
+      .localCheckpoint(eager = true) // release the landmark cache below
+    lm.unpersist()
+    out
+  }
+
   def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
       codecCol: String, threshold: Double = 0.95,
       nBands: Int = 64, saltBuckets: Int = 1): DataFrame = {

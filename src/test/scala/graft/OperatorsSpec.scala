@@ -67,6 +67,55 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(3) - hits.toDouble / total) < 1e-4)
   }
 
+  test("audio fingerprint match pairs a time-shifted volume-scaled copy " +
+      "with the exact frame offset; band-energy cosine cannot") {
+    // original melody (id 0), copy delayed by exactly 2 hops and scaled
+    // (id 1), unrelated melody (id 2)
+    val orig = SparkEntry.melodyClip(7L)
+    val shifted = new Array[Short](orig.length)
+    var i = 512
+    while (i < orig.length) {
+      shifted(i) = (orig(i - 512) * 0.7).toShort; i += 1
+    }
+    val other = SparkEntry.melodyClip(99L)
+    val df = Seq(
+      (0L, "pcm_s16le", graft.codec.Audio.pcm16Encode(orig)),
+      (1L, "pcm_s16le", graft.codec.Audio.pcm16Encode(shifted)),
+      (2L, "pcm_s16le", graft.codec.Audio.pcm16Encode(other))
+    ).toDF("id", "codec", "bytes")
+    val r = Dedup.audioFingerprintMatch(df, "id", "bytes", "codec",
+      minMatches = 12).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet == Set((0L, 1L)),
+      r.mkString("|"))
+    // dominant alignment = original anchors lag the copy's by 2 frames,
+    // recovered exactly from the delta histogram
+    assert(r.head.getInt(3) == -2, r.head.toString)
+    // strong alignment evidence, not a borderline pass
+    assert(r.head.getLong(2) >= 20, s"weak match: ${r.head}")
+  }
+
+  test("audio fingerprint match: time-shift invariance of the hash set " +
+      "(same landmarks, anchors displaced by the shift)") {
+    val orig = SparkEntry.melodyClip(11L)
+    val shifted = new Array[Short](orig.length)
+    var i = 512
+    while (i < orig.length) { shifted(i) = orig(i - 512); i += 1 }
+    val lo = graft.codec.Fft.peakLandmarks(orig)
+    val ls = graft.codec.Fft.peakLandmarks(shifted)
+    assert(lo != null && ls != null)
+    def byHash(a: Array[Long]) =
+      a.map(m => ((m >>> 32).toInt, (m & 0xffffffffL).toInt))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ho = byHash(lo); val hs = byHash(ls)
+    // most original hashes reappear in the shifted clip with anchors +2
+    val shared = ho.keySet & hs.keySet
+    assert(shared.size >= (ho.size * 6) / 10,
+      s"only ${shared.size}/${ho.size} hashes survive the shift")
+    val aligned = shared.count(h => hs(h).exists(t => ho(h).contains(t - 2)))
+    assert(aligned >= (shared.size * 6) / 10,
+      s"only $aligned/${shared.size} shared hashes align at +2")
+  }
+
   test("null/blank transcripts never co-cluster in any batch tier") {
     // same contract as the streaming dedup: nothing to compare = not a
     // duplicate; empty docs keep themselves (their payloads survive)

@@ -97,6 +97,19 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getLong(1) < r.getLong(0)))
   }
 
+  test("dedup_audio_fingerprint: every planted shifted copy pairs with " +
+      "its master at the exact -2 frame offset") {
+    val rows = SparkEntry.queries("dedup_audio_fingerprint")(spark, sf)
+      .collect()
+    val planted = (0L until 100L).map(k => (k * 10, 1000L + k)).toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${planted -- found} of ${planted.size} planted pairs")
+    // planted pairs carry the exact 2-hop delay (original leads)
+    rows.filter(r => planted.contains((r.getLong(0), r.getLong(1))))
+      .foreach(r => assert(r.getInt(3) == -2, r.toString))
+  }
+
   test("approximate sketches track exact within documented bounds") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // HLL++ @ rsd 0.02 vs exact distinct per source
