@@ -409,6 +409,51 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleDf = 100L)),
+    "curate_corpus" -> ((s, d) => {
+      // END-TO-END curation chain — the composed form of the training-
+      // data workflow, value-exact through every stage: exact dedup
+      // (keep min-id per normalized text) → benchmark decontamination
+      // (drop docs sharing any 10-shingle with the doc_id % 29 eval
+      // slice) → Gopher scalar quality gate (same instantiation as
+      // text_gopher). Each stage is individually oracle-checked; this
+      // query pins their COMPOSITION against one composed DuckDB oracle.
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 29 =!= 0)
+      val bench = docs.filter(col("doc_id") % 29 === 0)
+      val keepers = Dedup.exact(corpus, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = corpus.join(keepers, Seq("doc_id"), "left_semi")
+      // drop only on substantial overlap (rate >= 0.6 — verbatim or
+      // near-verbatim benchmark copies); the synthetic corpus's shared
+      // templates put background contamination at ~0.40 at sf0.01
+      // (kept) and ~0.77 at sf0.1 (mostly dropped — the denser corpus
+      // genuinely overlaps its eval slice; survivors: 364 at sf0.01,
+      // 7 at sf0.1, value-identical to the oracle at both)
+      val flagged = Dedup.decontaminate(deduped, bench, "doc_id", "text",
+        n = 10, minHits = 1)
+        .filter(col("rate") >= 0.6).select(col("id").as("doc_id"))
+      val cleaned = deduped.join(flagged, Seq("doc_id"), "left_anti")
+      val d0 = cleaned.select(col("doc_id"), col("lang"), col("source"),
+        col("text"), split(trim(col("text")), "\\s+").as("ws"))
+      val nW = size(col("ws")).cast("double")
+      val meanLen = round(
+        length(regexp_replace(trim(col("text")), "\\s+", "")) / nW, 4)
+      val symbols =
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3) +
+          (length(col("text")) - length(regexp_replace(col("text"), "…", "")))
+      val alphaFrac = round(
+        size(expr("filter(ws, w -> w rlike '\\\\p{L}')")) / nW, 4)
+      val stopHits = size(array_intersect(
+        expr("transform(ws, w -> lower(w))"),
+        array(graft.lid.TextStats.GopherStopwords.map(lit): _*)))
+      d0.filter(size(col("ws")).between(10, 100000) &&
+          meanLen.between(3.0, 10.0) && round(symbols / nW, 4) <= 0.1 &&
+          alphaFrac >= 0.8 && stopHits >= 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("ws")).cast("long").as("n_words"))
+    }),
     "text_decontaminate" -> ((s, d) => {
       // benchmark = the deterministic doc_id % 29 slice (an eval-suite
       // stand-in); training side = everything else. Flags training docs
@@ -1183,6 +1228,37 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "curate_corpus" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 29 <> 0),
+          keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus
+                    GROUP BY CASE WHEN length(${normTextSql("text")}) > 0
+                      THEN md5(${normTextSql("text")})
+                      ELSE 'empty:' || doc_id END),
+          dd AS (SELECT c.* FROM corpus c JOIN keep1 USING (doc_id)),
+          bsh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 10) AS shingle
+                  FROM (SELECT ${normTextSql("text")} AS t FROM documents
+                        WHERE doc_id % 29 = 0) b, generate_series(1, 2000) g(i)
+                  WHERE length(t) > 0 AND i <= greatest(length(t) - 9, 1)),
+          dsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 10) AS shingle
+                  FROM (SELECT doc_id, ${normTextSql("text")} AS t FROM dd) x,
+                       generate_series(1, 2000) g(i)
+                  WHERE length(t) > 0 AND i <= greatest(length(t) - 9, 1)),
+          tot2 AS (SELECT doc_id, count(*) AS total FROM dsh GROUP BY 1),
+          hit2 AS (SELECT doc_id, count(*) AS hits FROM dsh JOIN bsh USING (shingle) GROUP BY 1),
+          flag AS (SELECT doc_id FROM hit2 JOIN tot2 USING (doc_id)
+                   WHERE round(CAST(hits AS DOUBLE) / total, 4) >= 0.6),
+          clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM flag)),
+          w AS (SELECT doc_id, lang, source, text,
+                  regexp_split_to_array(trim(text), '\\s+') AS ws FROM clean),
+          g2 AS (SELECT doc_id, lang, source, len(ws) AS n_words,
+            round(length(regexp_replace(trim(text), '\\s+', '', 'g')) / CAST(len(ws) AS DOUBLE), 4) AS mean_word_len,
+            round(((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 + (length(text) - length(replace(text, '…', '')))) / CAST(len(ws) AS DOUBLE), 4) AS symbol_ratio,
+            round(len(list_filter(ws, w -> regexp_matches(w, '\\p{L}'))) / CAST(len(ws) AS DOUBLE), 4) AS alpha_word_frac,
+            len(list_intersect(list_transform(ws, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) AS stop_hits
+          FROM w)
+          SELECT doc_id, lang, source, n_words FROM g2
+          WHERE n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND stop_hits >= 1""",
     "text_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           bsh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 10) AS shingle

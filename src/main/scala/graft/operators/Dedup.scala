@@ -122,20 +122,31 @@ object Dedup {
     * per-doc counter groupBy keyed by doc id. Never an all-pairs join;
     * the training corpus is touched once. */
   def decontaminate(docs: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 10, minHits: Long = 1): DataFrame = {
+      textCol: String, n: Int = 10, minHits: Long = 1,
+      hashed: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // `hashed` is the production-scale knob: joining on xxhash64 of the
+    // shingle shrinks the broadcast ~5x (8 bytes vs n chars) and makes
+    // the join key fixed-width. Results are identical up to 64-bit hash
+    // collisions (~1e-10 per benchmark shingle set of 10^5; DedupSpec
+    // asserts equality on real corpora). The unhashed form is the
+    // DuckDB-oracle-comparable mode.
+    // hashing maps the array elements BEFORE the explode (a generator
+    // cannot nest inside another expression)
+    def keyed(arr: Column): Column =
+      if (hashed) transform(arr, x => xxhash64(x)) else arr
     val d = docs.select(longId(docs, idCol).as("id"),
       normText(col(textCol)).as("t"))
       .filter(length($"t") > 0)
-      .select($"id", shingleCol($"t", n).as("shs"))
+      .select($"id", keyed(shingleCol($"t", n)).as("shs"))
       // distinct-shingle total rides along with the explode — no second
       // pass over the text and no extra shuffle to recover it later
       .select($"id", size($"shs").cast("long").as("total"),
         explode($"shs").as("shingle"))
     val benchSh = bench.select(normText(col(textCol)).as("t"))
       .filter(length($"t") > 0)
-      .select(explode(shingleCol($"t", n)).as("shingle"))
+      .select(explode(keyed(shingleCol($"t", n))).as("shingle"))
       .distinct()
     d.join(broadcast(benchSh), Seq("shingle"))
       .groupBy($"id", $"total").agg(count(lit(1)).as("hits"))

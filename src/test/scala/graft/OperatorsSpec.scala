@@ -65,6 +65,11 @@ class DedupSpec extends AnyFunSuite {
     assert(hits == (w1 & wB).size.toLong)
     assert(total == w1.size.toLong)
     assert(math.abs(row.getDouble(3) - hits.toDouble / total) < 1e-4)
+    // the hashed (production-broadcast) mode returns identical rows
+    val rh = Dedup.decontaminate(train, bench, "doc_id", "text",
+      n = 10, minHits = 1, hashed = true).collect()
+    assert(rh.map(_.toString).sorted.toSeq ==
+      r.map(_.toString).sorted.toSeq)
   }
 
   test("audio fingerprint match pairs a time-shifted volume-scaled copy " +
