@@ -534,8 +534,13 @@ object SparkEntry {
       // must surface with the correct alignment offset. Rows-only (FFT
       // landmarks are not SQL); exact recovery pinned in DedupSpec and
       // QueriesSpec.
+      // maxHashDf = 16: in-segment tone hashes (f, f, dt) recur across
+      // ~50 clips sharing a tone bin and would dominate the in-bucket
+      // join (measured ~15M pair rows at df <= 64); the segment-
+      // TRANSITION hashes that actually identify a melody have low df
+      // and survive — planted recall stays 100/100 (QueriesSpec).
       Dedup.audioFingerprintMatch(audioMelodyCorpus(s, 1000L),
-        "id", "bytes", "codec", minMatches = 12)
+        "id", "bytes", "codec", minMatches = 12, maxHashDf = 16)
     }),
     "dedup_audio_keep" -> ((s, _) => {
       // full audio dedup composed end-to-end: near-dup pairs →

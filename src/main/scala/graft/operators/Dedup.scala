@@ -132,21 +132,34 @@ object Dedup {
     // collisions (~1e-10 per benchmark shingle set of 10^5; DedupSpec
     // asserts equality on real corpora). The unhashed form is the
     // DuckDB-oracle-comparable mode.
-    // hashing maps the array elements BEFORE the explode (a generator
-    // cannot nest inside another expression)
-    def keyed(arr: Column): Column =
-      if (hashed) transform(arr, x => xxhash64(x)) else arr
-    val d = docs.select(longId(docs, idCol).as("id"),
-      normText(col(textCol)).as("t"))
-      .filter(length($"t") > 0)
-      .select($"id", keyed(shingleCol($"t", n)).as("shs"))
-      // distinct-shingle total rides along with the explode — no second
-      // pass over the text and no extra shuffle to recover it later
-      .select($"id", size($"shs").cast("long").as("total"),
-        explode($"shs").as("shingle"))
-    val benchSh = bench.select(normText(col(textCol)).as("t"))
-      .filter(length($"t") > 0)
-      .select(explode(keyed(shingleCol($"t", n))).as("shingle"))
+    // Shingles come from a typed flatMap (TextStats.shingles — same
+    // norm + truncated-short-text + distinct semantics as the SQL
+    // shingleCol/normText pair, which the DuckDB oracle mirrors), NOT
+    // from shingleCol over a projected norm column: CollapseProject
+    // inlines the normalization regex into the per-element substr
+    // lambda AND the generator-pruning filter, re-running it hundreds
+    // of times per row (measured 16 s for 5 000 docs vs ~1 s typed).
+    // The distinct-shingle total rides along with each exploded row so
+    // no second pass or extra shuffle recovers it later.
+    val d0 = docs.select(longId(docs, idCol).as("id"),
+      col(textCol).as("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = graft.lid.TextStats.shingles(text, n)
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val tot = sh.size.toLong
+          sh.iterator.map(s => (id, tot, s))
+        }
+      }.toDF("id", "total", "shingle")
+    // hashed = production-broadcast mode: one column op per exploded
+    // row, applied symmetrically to both sides
+    val d = if (hashed)
+      d0.withColumn("shingle", xxhash64($"shingle")) else d0
+    val bench0 = bench.select(col(textCol)).as[String]
+      .flatMap(t => graft.lid.TextStats.shingles(t, n).iterator)
+      .toDF("shingle")
+    val benchSh = (if (hashed)
+      bench0.withColumn("shingle", xxhash64($"shingle")) else bench0)
       .distinct()
     d.join(broadcast(benchSh), Seq("shingle"))
       .groupBy($"id", $"total").agg(count(lit(1)).as("hits"))
