@@ -260,8 +260,10 @@ object Fft {
     * tier compares WHOLE-clip spectra, so a copy shifted in time decoheres
     * (energy lands in the same bands only if content is stationary).
     * Landmark hashes are relative (f1, f2, Δt) — invariant to time
-    * offset (the anchor frame shifts, the hash doesn't) and to volume
-    * scaling (argmax bins are scale-invariant) — so a delayed re-noised
+    * offset (the anchor frame shifts, the hash doesn't) and robust to
+    * volume scaling (dominant argmax bins are scale-invariant; only
+    * noise-floor peaks reshuffle under 16-bit re-quantization — FftSpec
+    * measures the overlap) — so a delayed re-noised
     * copy still shares most hashes, and the match offset is recoverable
     * as the constant anchor-frame difference
     * ([[graft.operators.Dedup.audioFingerprintMatch]] histograms it).

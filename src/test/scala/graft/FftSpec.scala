@@ -201,6 +201,42 @@ class FftSpec extends AnyFunSuite {
     val loud = Array.fill[Short](100)(8000)
     assert(Fft.vad(loud) == (1.0, 0, 100))
   }
+
+  test("peakLandmarks degenerate and adversarial inputs") {
+    assert(Fft.peakLandmarks(null) == null)
+    assert(Fft.peakLandmarks(new Array[Short](100)) == null) // sub-frame
+    assert(Fft.peakLandmarks(new Array[Short](4096)) == null) // silence
+    // constant DC: no local maxima above the floor in bins >= 2
+    assert(Fft.peakLandmarks(Array.fill[Short](4096)(1000)) == null)
+    // full-scale alternating (Nyquist tone): must not overflow or emit
+    // out-of-range fields
+    val nyq = Array.tabulate[Short](4096)(i =>
+      if (i % 2 == 0) Short.MaxValue else Short.MinValue)
+    val lmN = Fft.peakLandmarks(nyq)
+    val tone = Array.tabulate[Short](8192)(i =>
+      (12000 * math.sin(2 * math.Pi * 700 * i / 8000.0)).toShort)
+    val lm = Fft.peakLandmarks(tone)
+    assert(lm != null && lm.nonEmpty)
+    (Option(lmN).toSeq.flatten ++ lm).foreach { m =>
+      val hash = (m >>> 32).toInt
+      val t1 = (m & 0xffffffffL).toInt
+      val f1 = (hash >>> 16) & 0x3ff
+      val f2 = (hash >>> 6) & 0x3ff
+      val dt = hash & 0x3f
+      assert(t1 >= 0 && f1 >= 2 && f1 <= 256 && f2 >= 2 && f2 <= 256
+        && dt >= 1 && dt <= 8, s"bad landmark: h=$hash t=$t1")
+    }
+    // determinism
+    assert(Fft.peakLandmarks(tone).toSeq == lm.toSeq)
+    // volume robustness: dominant-peak hashes survive scaling (16-bit
+    // re-quantization reshuffles noise-floor peaks, so exact set
+    // equality is NOT expected — strong overlap is)
+    val quiet = tone.map(s => (s * 0.3).toShort)
+    val hs = (a: Array[Long]) => a.map(_ >>> 32).toSet
+    val (hq, ho) = (hs(Fft.peakLandmarks(quiet)), hs(lm))
+    val overlap = (hq & ho).size.toDouble / math.min(hq.size, ho.size)
+    assert(overlap >= 0.4, s"overlap $overlap (${hq.size}/${ho.size})")
+  }
 }
 
 class SignalQualitySpec extends AnyFunSuite {

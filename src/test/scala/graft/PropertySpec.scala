@@ -121,6 +121,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate invariants: verbatim benchmark copy has rate 1.0; " +
+      "disjoint alphabets never flag") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over seventeen lazy dogs today"
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, benchText), // verbatim copy: every shingle hits
+      (2L, "αβγδεζηθικλμνξο πρστυφχψω αβγδεζηθικ λμνξοπρστυ") // disjoint
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.decontaminate(train, bench,
+      "doc_id", "text", n = 10, minHits = 1).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L), r.mkString("|"))
+    assert(r.head.getDouble(3) == 1.0) // hits == total for the copy
+    assert(r.head.getLong(1) == r.head.getLong(2))
+  }
+
   test("minhash signatures: identical sets agree on every slot") {
     forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { xs =>
       val a = Dedup.signature(xs, 32)
