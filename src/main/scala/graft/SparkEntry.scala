@@ -409,6 +409,19 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxShingleDf = 100L)),
+    "dedup_text_keep" -> ((s, d) => {
+      // fuzzy-dedup END-TO-END keep: n-gram Jaccard pairs (8-char
+      // shingles — at 5k docs every 3-gram is a stop-shingle, so the
+      // char-8 space is what keeps df-pruning meaningful at scale) →
+      // connected components → keep flag for EVERY doc. Oracle is a
+      // recursive-CTE transitive closure over the same pair graph —
+      // a general-graph components oracle, not a planted-structure one.
+      val docs = t(s, d, "documents")
+      Dedup.keepPolicy(docs, "doc_id",
+        Dedup.ngramJaccard(docs, "doc_id", "text",
+          n = 8, threshold = 0.5, maxShingleDf = 200L)
+          .select(col("a"), col("b")))
+    }),
     "curate_corpus" -> ((s, d) => {
       // END-TO-END curation chain — the composed form of the training-
       // data workflow, value-exact through every stage: exact dedup
@@ -1233,6 +1246,30 @@ object SparkEntry {
           SELECT a, b, round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) AS jaccard
           FROM pairs JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
           WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5""",
+    "dedup_text_keep" ->
+      s"""WITH RECURSIVE
+          docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+          sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 8) AS s
+                 FROM docs, generate_series(1, 2000) g(i)
+                 WHERE length(t) > 0 AND i <= greatest(length(t) - 7, 1)),
+          rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 200),
+          pr AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+          sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY 1),
+          cand AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+                   FROM pr x JOIN pr y ON x.s = y.s AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+          pairs AS (SELECT a, b FROM cand
+                    JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+                    WHERE round(CAST(common AS DOUBLE) / (za.sz + zb.sz - common), 4) >= 0.5),
+          edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+          reach(id, lab) AS (
+            SELECT a AS id, a AS lab FROM edges
+            UNION
+            SELECT r.id, e.b AS lab FROM reach r JOIN edges e ON e.a = r.lab),
+          labels AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)
+          SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS label,
+                 (coalesce(l.label, d.doc_id) = d.doc_id) AS keep
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id""",
     "curate_corpus" ->
       s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 29 <> 0),
           keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus

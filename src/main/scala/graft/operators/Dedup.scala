@@ -81,19 +81,34 @@ object Dedup {
       maxShingleDf: Long = 100L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // blank/null texts carry no shingles to compare (and the degenerate
-    // "" shingle would pair every empty doc with every other)
+    // Typed flatMap, NOT explode(shingleCol(normText-projection)):
+    // CollapseProject inlines the normalization regex into the
+    // per-element substr lambda and the generator-pruning filter
+    // (O(len) regex runs per CHARACTER of every row — the same
+    // pathology measured 16 s → 1.4 s in decontaminate). Blank/null
+    // texts carry no shingles to compare (TextStats.shingles returns
+    // the empty set, so the degenerate "" shingle can't pair every
+    // empty doc with every other). Persisted because THREE subtrees
+    // reference it (df census, pruned a-side, pruned b-side);
+    // operator-owned persist + eager-checkpoint + unpersist lifecycle,
+    // same policy as minHashLsh.
     val inv = df.select(longId(df, idCol).as("id"),
-      normText(col(textCol)).as("t"))
-      .filter(length($"t") > 0)
-      .select(col("id"), explode(shingleCol(col("t"), n)).as("shingle"))
+      col(textCol).as("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.lid.TextStats.shingles(text, n).iterator.map(s => (id, s))
+      }.toDF("id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxShingleDf).select($"shingle")
+    // pruned is referenced by THREE subtrees (sz census, a-side, b-side)
+    // and embeds the rare-shingle groupBy — persisted, or each subtree
+    // re-runs the df census + join
     val pruned = inv.join(rare, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = pruned.groupBy($"id").agg(count(lit(1)).as("sz"))
     val a = pruned.select($"id".as("a"), $"shingle")
     val b = pruned.select($"id".as("b"), $"shingle")
-    a.join(b, Seq("shingle"))
+    val out = a.join(b, Seq("shingle"))
       .filter($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("common"))
@@ -103,6 +118,10 @@ object Dedup {
         round($"common" / ($"sza" + $"szb" - $"common"), 4))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
+      .localCheckpoint(eager = true)
+    inv.unpersist()
+    pruned.unpersist()
+    out
   }
 
   /** Benchmark decontamination — the training-pipeline gate that keeps
