@@ -954,6 +954,28 @@ object SparkEntry {
         .filter(h < floor(col("min_cnt") * lit(10000) / col("cnt")))
         .select(col("doc_id"), col("lang"), col("source"))
     }),
+    "sample_temperature_mix" -> ((s, d) => {
+      // temperature-flattened language mixing (T = 0.5): the
+      // multilingual-LLM upsampling rule — keep rate ∝ (c_max/c_l)^T,
+      // capped at 1, so minority languages are flattened TOWARD (not
+      // all the way to) parity, unlike mixture_balance's hard
+      // equal-share. Arithmetic is collision-safe across engines: no
+      // cross-language float SUM (order-dependent rounding) — the rate
+      // is one exactly-rounded sqrt per side and one divide, and
+      // membership floors it into millionths against the same
+      // prime-modulus hash as the other samplers.
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val maxc = counts.agg(max(col("cnt")).as("max_cnt"))
+      val h = pmod(pmod((col("doc_id") % 100000L) * lit(2654435761L),
+        lit(1000003L)), lit(1000000))
+      val rate = least(lit(1.0),
+        lit(0.2) * sqrt(col("max_cnt").cast("double")) /
+          sqrt(col("cnt").cast("double")))
+      docs.join(broadcast(counts), "lang").crossJoin(broadcast(maxc))
+        .filter(h < floor(rate * lit(1000000)))
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
     "text_bpe_tokens" -> ((s, d) => {
       // BPE subword tokenization (Sennrich 2016): merges trained on a
       // bounded deterministic sample DRIVER-side (the merge table is a
@@ -1735,6 +1757,12 @@ object SparkEntry {
     "sample_stratified" ->
       """SELECT doc_id, source, lang FROM documents
           WHERE (((doc_id % 100000) * 2654435761) % 1000003) % 100 < (CASE WHEN source = 'src0' THEN 2 ELSE 20 END)""",
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+          m AS (SELECT max(cnt) AS max_cnt FROM c)
+          SELECT doc_id, lang, source FROM documents JOIN c USING (lang) CROSS JOIN m
+          WHERE (((doc_id % 100000) * 2654435761) % 1000003) % 1000000
+            < floor(least(1.0, 0.2 * sqrt(CAST(max_cnt AS DOUBLE)) / sqrt(CAST(cnt AS DOUBLE))) * 1000000)""",
     "text_gopher_top2gram" ->
       """WITH w AS (SELECT doc_id, length(text) AS n, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
           b AS (SELECT doc_id, n, unnest(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w),

@@ -195,8 +195,8 @@ class QueriesSpec extends AnyFunSuite {
     // crossJoins (tfidf nDocs, drift glob, mixture minc, embedding
     // anchors, brute-force queries)
     val allowedNestedLoop = Set("text_tfidf_topk", "quality_drift_monitor",
-      "sample_mixture_balance", "dedup_embedding_cosine",
-      "sim_topk_bruteforce",
+      "sample_mixture_balance", "sample_temperature_mix",
+      "dedup_embedding_cosine", "sim_topk_bruteforce",
       // the recall queries embed the brute-force baseline (broadcast of
       // the 5 query vectors) by construction
       "sim_ann_lsh_recall", "sim_ann_ivf_recall")
@@ -210,6 +210,29 @@ class QueriesSpec extends AnyFunSuite {
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"$q plans a nested loop join:\n$p")
       }
+  }
+
+  test("sample_temperature_mix flattens toward parity: minority-language " +
+      "retention exceeds majority's, and no rate exceeds 1") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val before = docs.groupBy($"lang").count().as[(String, Long)]
+      .collect().toMap
+    val after = SparkEntry.queries("sample_temperature_mix")(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val rates = before.map { case (l, b) =>
+      l -> after.getOrElse(l, 0L).toDouble / b }
+    val maj = before.maxBy(_._2)._1
+    val min0 = before.minBy(_._2)._1
+    assert(rates(min0) > rates(maj),
+      s"no flattening: $rates (before $before)")
+    // expected rate = min(1, 0.2*sqrt(cmax/c)) within sampling noise
+    before.foreach { case (l, c) =>
+      val exp = math.min(1.0, 0.2 * math.sqrt(before(maj).toDouble / c))
+      assert(math.abs(rates(l) - exp) < 0.1,
+        s"$l rate ${rates(l)} vs expected $exp")
+    }
   }
 
   test("sample_stratified keeps ~2% of src0 and ~20% elsewhere") {
