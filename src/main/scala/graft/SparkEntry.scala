@@ -173,6 +173,66 @@ object SparkEntry {
   private def normTextSql(c: String) =
     s"lower(regexp_replace(trim($c), '\\s+', ' ', 'g'))"
 
+  /** Shared k-perm MinHash-LSH oracle (full bit-for-bit reproduction —
+    * see the `dedup_minhash_lsh` entry notes). `cand` plugs the
+    * candidate-generation CTE body so all-pairs and star pair modes
+    * share every other stage. */
+  private def minhashKpermOracleSql(cand: String): String =
+    s"""WITH seeds AS (
+          SELECT kind, j, CAST(x0 AS HUGEINT) + 11400714819323198485 AS x0g FROM (
+            SELECT 'a' AS kind, j, 2*j + 1 AS x0 FROM generate_series(0, 63) g(j)
+            UNION ALL SELECT 'b', j, 2*j + 2 FROM generate_series(0, 63) g(j)
+            UNION ALL SELECT 'c', j, 1000003 + j FROM generate_series(0, 63) g(j))),
+        mx1 AS (SELECT kind, j, x0g % 18446744073709551616 AS x1 FROM seeds),
+        mx2 AS (SELECT kind, j,
+          ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+           + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+          % 18446744073709551616 AS x2 FROM mx1),
+        mx3 AS (SELECT kind, j,
+          ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+           + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+          % 18446744073709551616 AS x3 FROM mx2),
+        mabs AS (SELECT kind, j,
+          xor(x3, x3 // 2147483648) % 9223372036854775808 AS am FROM mx3),
+        perms AS (
+          SELECT pa.j, (pa.am % 2305843009213693950) + 1 AS a, pb.am % 2305843009213693951 AS b
+          FROM mabs pa JOIN mabs pb ON pa.j = pb.j AND pa.kind = 'a' AND pb.kind = 'b'),
+        coefs AS (SELECT j, (am % 2305843009213693950) + 1 AS c FROM mabs WHERE kind = 'c'),
+        docs AS (
+          SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+          WHERE length(trim(coalesce(text, ''))) > 0),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INT), 5) END AS s
+          FROM docs, generate_series(1, 2000) g(i)
+          WHERE i <= greatest(length(t) - 4, 1)),
+        hx AS (
+          SELECT doc_id, (list_reduce(
+            list_prepend(14695981039346656037::HUGEINT,
+              list_transform(generate_series(1, length(s)),
+                i -> unicode(substr(s, i, 1))::HUGEINT)),
+            (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
+              + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
+                * 4294967296) % 18446744073709551616)
+            % 9223372036854775808) % 2305843009213693951 AS x
+          FROM sh),
+        sig AS (
+          SELECT doc_id, p.j, min((p.a * hx.x + p.b) % 2305843009213693951) AS v
+          FROM hx CROSS JOIN perms p GROUP BY doc_id, p.j),
+        bk AS (
+          SELECT doc_id, s.j // 4 AS band,
+            sum((c.c * s.v) % 2305843009213693951) % 2305843009213693951 AS bucket
+          FROM sig s JOIN coefs c USING (j) GROUP BY doc_id, s.j // 4),
+        cand AS ($cand),
+        eq AS (
+          SELECT c.a, c.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+          GROUP BY c.a, c.b)
+        SELECT a, b, round(neq / 64.0, 4) AS est_jaccard
+        FROM eq WHERE round(neq / 64.0, 4) >= 0.5"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- P: per-row scalar surface (SURVEY §2.2)
     "p1_alpha_ratio" -> ((s, d) => t(s, d, "documents")
@@ -1405,7 +1465,8 @@ object SparkEntry {
       // Full bit-for-bit reproduction of Dedup.minHashLsh's k-perm
       // path: splitmix64 (Golden increment + finalizer, 32-bit-split
       // wrapping multiplies) generates the SAME permutation params
-      // (a_j, b_j from mix(2j+1)/mix(2j+2), two's-complement abs) and
+      // (a_j, b_j from mix(2j+1)/mix(2j+2), masked to the low 63 bits
+      // — `& Long.MaxValue` on the Scala side, `% 2^63` here) and
       // multilinear bucket coefficients (mix(1000003+i)); FNV-1a 64
       // per 5-gram shingle; sig_j = min (a_j·x + b_j) mod P over the
       // 61-bit Mersenne prime (the 122-bit products fit HUGEINT
@@ -1428,9 +1489,7 @@ object SparkEntry {
              + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
             % 18446744073709551616 AS x3 FROM mx2),
           mabs AS (SELECT kind, j,
-            CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
-                 THEN 18446744073709551616 - xor(x3, x3 // 2147483648)
-                 ELSE xor(x3, x3 // 2147483648) END AS am FROM mx3),
+            xor(x3, x3 // 2147483648) % 9223372036854775808 AS am FROM mx3),
           perms AS (
             SELECT pa.j, (pa.am % 2305843009213693950) + 1 AS a, pb.am % 2305843009213693951 AS b
             FROM mabs pa JOIN mabs pb ON pa.j = pb.j AND pa.kind = 'a' AND pb.kind = 'b'),
@@ -1494,9 +1553,8 @@ object SparkEntry {
              + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
             % 18446744073709551616 AS x3 FROM cm2),
           coefs AS (SELECT j,
-            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
-                  THEN 18446744073709551616 - xor(x3, x3 // 2147483648)
-                  ELSE xor(x3, x3 // 2147483648) END % 2305843009213693950) + 1 AS c
+            ((xor(x3, x3 // 2147483648) % 9223372036854775808)
+              % 2305843009213693950) + 1 AS c
             FROM cm3),
           docs AS (
             SELECT doc_id, ${normTextSql("text")} AS t FROM documents

@@ -75,12 +75,28 @@ object Dedup {
     * sizes and the intersection counts, so the similarity is exact over
     * the pruned space. The pruning is what bounds the inverted-index
     * self-join: without it a shared-vocab corpus goes quadratic
-    * (every doc pairs with every doc through ubiquitous shingles). */
+    * (every doc pairs with every doc through ubiquitous shingles).
+    *
+    * SCALING RULE for the pruning knob: `maxShingleDf` is an ABSOLUTE
+    * document frequency — right for a fixed-size corpus and for the
+    * engine-independent oracle, wrong as a constant across corpus
+    * sizes (df=100 means "0.2% of docs" at 50k docs but "1 in 10^10"
+    * at 10^12 — at 100 TB the same absolute would prune almost nothing
+    * that matters and the inverted index self-join inherits the
+    * boilerplate). Pass `maxShingleDfFrac` instead (e.g. 0.002 = prune
+    * shingles appearing in > 0.2% of docs): the absolute cap derives
+    * from one count over the shingled corpus as
+    * max(1, ceil(frac · nDocs)), so the pruning intent survives any
+    * scale-up. When both are given the fractional form wins.
+    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Long = 100L): DataFrame = {
+      maxShingleDf: Long = 100L,
+      maxShingleDfFrac: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(maxShingleDfFrac <= 1.0,
+      s"maxShingleDfFrac is a fraction of the corpus, got $maxShingleDfFrac")
     // Typed flatMap, NOT explode(shingleCol(normText-projection)):
     // CollapseProject inlines the normalization regex into the
     // per-element substr lambda and the generator-pruning filter
@@ -98,8 +114,15 @@ object Dedup {
         graft.lid.TextStats.shingles(text, n).iterator.map(s => (id, s))
       }.toDF("id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fractional form: one countDistinct over the (persisted) inverted
+    // index derives the absolute cap — see the scaladoc scaling rule
+    val dfCap =
+      if (maxShingleDfFrac > 0.0) {
+        val nDocs = inv.select(countDistinct($"id")).head.getLong(0)
+        math.max(1L, math.ceil(maxShingleDfFrac * nDocs).toLong)
+      } else maxShingleDf
     val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      .filter($"df" <= maxShingleDf).select($"shingle")
+      .filter($"df" <= dfCap).select($"shingle")
     // pruned is referenced by THREE subtrees (sz census, a-side, b-side)
     // and embeds the rare-shingle groupBy — persisted, or each subtree
     // re-runs the df census + join
@@ -191,9 +214,16 @@ object Dedup {
   /** Deterministic permutation constants for h_i(x) = (a_i·x + b_i) mod p
     * over a 61-bit Mersenne prime — standard MinHash construction. */
   private val P = (1L << 61) - 1
+  // `& Long.MaxValue`, not `.abs`: abs(Long.MinValue) stays NEGATIVE in
+  // two's complement, which would yield a coefficient <= 0 and diverge
+  // from the engine-independent oracle arithmetic (p ~ 2^-64 per index,
+  // but a latent divergence is a divergence). The mask is total: every
+  // mix output maps to [0, 2^63), and the DuckDB oracle mirrors it as a
+  // plain `% 2^63` on the unsigned HUGEINT value.
   private def perm(i: Int): (Long, Long) = {
     import graft.util.Mix.mix
-    ((mix(2L * i + 1).abs % (P - 1)) + 1, mix(2L * i + 2).abs % P)
+    (((mix(2L * i + 1) & Long.MaxValue) % (P - 1)) + 1,
+      (mix(2L * i + 2) & Long.MaxValue) % P)
   }
 
   // per-k permutation coefficient tables, built once per JVM (executor):
@@ -225,7 +255,8 @@ object Dedup {
     * input space disjoint from [[perm]]'s (offset 1,000,003 ≫ 2k+2). */
   private[graft] def bucketCoef(idx: Int): Long = {
     import graft.util.Mix.mix
-    (mix(1000003L + idx).abs % (P - 1)) + 1
+    // masked, not .abs — see [[perm]] for why
+    ((mix(1000003L + idx) & Long.MaxValue) % (P - 1)) + 1
   }
 
   /** Engine-independent band bucket: the multilinear hash
@@ -251,6 +282,88 @@ object Dedup {
       r += 1
     }
     acc
+  }
+
+  private def requirePairMode(m: String): Unit =
+    require(m == "all" || m == "star",
+      s"pairMode must be 'all' or 'star', got '$m'")
+
+  /** Clique-safe in-bucket candidate generation (`pairMode = "star"`):
+    * each bucket member pairs ONLY with its bucket's minimal id, so a
+    * bucket of size k emits k-1 candidate pairs instead of C(k,2). The
+    * transitive closure of a star equals that of the clique, so every
+    * bucket still collapses into one [[components]] component and the
+    * [[keepPolicy]] keeper set is unchanged for genuine duplicate
+    * cliques — this is the 10^12-row setting for corpora with
+    * million-doc boilerplate cliques, where all-pairs mode emits
+    * C(10^6, 2) ≈ 5·10^11 pairs per template per table before the
+    * distinct. Semantics note: the emitted pair LIST is a subset of
+    * all-pairs mode (member↔member edges are dropped), so all-pairs
+    * stays the oracle/audit mode; star changes which pairs are
+    * VERIFIED, not how any pair is scored. Plan shape: the bucket-min
+    * aggregate and the join back both key on the bucket columns, so AQE
+    * reuses one exchange and the shuffle carries (keys, id) only. */
+  private def starPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
+    val mins = buckets.groupBy(keys.map(col): _*).agg(min(col("id")).as("a"))
+    buckets.join(mins, keys)
+      .filter(col("id") > col("a"))
+      .select(col("a"), col("id").as("b"))
+  }
+
+  // ------------------------------------------------- LSH observability
+  /** One candidate-generation observability row per LSH run (opt-in via
+    * each tier's `collectMetrics`). The 100-TB failure mode of every
+    * bucketed tier is a quadratic candidate blowup that only surfaces
+    * when the verify join dies hours in; these counters surface it at
+    * bucket-build time. `allpairs_candidates` = Σ over buckets of
+    * C(size, 2) — the fan-out all-pairs mode would pay, THE number to
+    * trend per corpus (linear in n when bucketing is healthy);
+    * `candidate_pairs` is what the run's own `pairMode` emits pre-verify
+    * (star: Σ (size-1)). `survivor_pairs` is filled only by tiers whose
+    * output is materialized inside the call (minHashLsh); lazy tiers
+    * record -1 rather than re-running their verify join to count. */
+  final case class LshMetrics(
+      tier: String, pair_mode: String, n_rows: Long, n_buckets: Long,
+      max_bucket: Long, candidate_pairs: Long, allpairs_candidates: Long,
+      survivor_pairs: Long)
+
+  private val lshMetricsQueue =
+    new java.util.concurrent.ConcurrentLinkedQueue[LshMetrics]()
+
+  /** Drain all metrics recorded since the last drain (FIFO). */
+  def drainLshMetrics(): Seq[LshMetrics] = {
+    val b = Seq.newBuilder[LshMetrics]
+    var m = lshMetricsQueue.poll()
+    while (m != null) { b += m; m = lshMetricsQueue.poll() }
+    b.result()
+  }
+
+  /** Drained metrics as a frame — the lineage/metrics-table adapter. */
+  def lshMetricsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(drainLshMetrics()).toDF()
+  }
+
+  /** ONE two-level aggregate over the (persisted/slim) bucket frame:
+    * per-bucket counts, then the corpus-level counters. Cost is a
+    * counter shuffle keyed by the bucket columns — the same key the
+    * candidate join shuffles on. */
+  private def recordLshMetrics(tier: String, pairMode: String,
+      buckets: DataFrame, keys: Seq[String], survivors: Long): Unit = {
+    val r = buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"),
+        coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("ap2"),
+        coalesce(sum(col("n") - 1), lit(0L)).as("star"))
+      .head()
+    val allPairs = r.getAs[Long]("ap2") / 2
+    lshMetricsQueue.add(LshMetrics(tier, pairMode,
+      r.getAs[Long]("n_rows"), r.getAs[Long]("n_buckets"),
+      r.getAs[Long]("max_bucket"),
+      if (pairMode == "star") r.getAs[Long]("star") else allPairs,
+      allPairs, survivors))
   }
 
   /** Row-local MinHash signature of a shingle set. Pure Scala — called
@@ -374,10 +487,23 @@ object Dedup {
     * the returned frame is a computed result, not a composable lazy
     * plan (downstream filters won't push into the candidate job). This
     * is the intended contract for a dedup tier: its output is always
-    * consumed in full by components/keep-policy. */
+    * consumed in full by components/keep-policy.
+    *
+    * `pairMode` — see [[starPairs]]: "all" (default, the oracle mode)
+    * emits every in-bucket pair; "star" pairs each bucket member only
+    * with the bucket minimum, turning a k-doc near-identical clique
+    * (mirrored boilerplate — routine in web-scale crawls) from C(k,2)
+    * emitted pairs into k-1 while connecting the same docs into the
+    * same [[components]]. Star is the 10^12-row setting; its pair LIST
+    * is a subset of all-pairs (est_jaccard values unchanged where
+    * emitted), so downstream keep decisions are identical whenever the
+    * in-bucket docs genuinely clear `threshold` against the bucket min
+    * (the clique case star exists for). */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, oph: Boolean = false): DataFrame = {
+      threshold: Double = 0.7, oph: Boolean = false,
+      pairMode: String = "all", collectMetrics: Boolean = false): DataFrame = {
+    requirePairMode(pairMode)
     val spark = df.sparkSession
     import spark.implicits._
     graft.functions.VectorOps.register(spark)
@@ -409,11 +535,14 @@ object Dedup {
     val buckets = sigs.flatMap { r =>
       Iterator.tabulate(bands)(b => (r.id, b, bandBucket(r.sig, b, rowsPerBand, coefs)))
     }.toDF("id", "band", "bucket")
-    val pairs = buckets.select($"band", $"bucket", $"id".as("a"))
-      .join(buckets.select($"band", $"bucket", $"id".as("b")),
-        Seq("band", "bucket"))
-      .filter($"a" < $"b")
-      .select($"a", $"b").distinct()
+    val pairs = (pairMode match {
+      case "star" => starPairs(buckets, Seq("band", "bucket"))
+      case _ => buckets.select($"band", $"bucket", $"id".as("a"))
+        .join(buckets.select($"band", $"bucket", $"id".as("b")),
+          Seq("band", "bucket"))
+        .filter($"a" < $"b")
+        .select($"a", $"b")
+    }).distinct()
     val out = pairs
       .join(sigs.select($"id".as("a"), $"sig".as("siga")), "a")
       .join(sigs.select($"id".as("b"), $"sig".as("sigb")), "b")
@@ -427,6 +556,9 @@ object Dedup {
       // the unpersist too, or a long-lived session accumulates cached
       // signature partitions across calls with no release path
       .localCheckpoint(eager = true)
+    if (collectMetrics)
+      recordLshMetrics("minhash_lsh" + (if (oph) "_oph" else ""), pairMode,
+        buckets.toDF(), Seq("band", "bucket"), out.count())
     sigs.unpersist()
     out
   }
@@ -692,16 +824,30 @@ object Dedup {
     * near-linear when buckets stay small, i.e. when 2^planes ≳ n — at
     * planes=8 there are just 256 buckets and the bound degrades toward
     * (planes+1)·n²/256 however sharp the verify is. `planes <= 0`
-    * (default) therefore self-scales via [[autoPlanes]] (⌈log₂ n⌉ + 8,
-    * one metadata-cheap count job); pass an explicit small `planes`
-    * only for deliberately coarse sampling (the benchmarked
-    * `dedup_embedding_lsh` query documents exactly that trade at 8). */
+    * (default) therefore self-scales via [[autoPlanes]]; the count that
+    * sizes it is a REAL job over `df` (a full scan when `df` is a
+    * derived frame, cheap only over a raw parquet source) — callers
+    * that already know the corpus size pass `nHint` and skip it.
+    * Pass an explicit small `planes` only for deliberately coarse
+    * sampling (the benchmarked `dedup_embedding_lsh` query documents
+    * exactly that trade at 8).
+    *
+    * `pairMode = "star"` ([[starPairs]] semantics): each probe pairs
+    * only with its target bucket's minimal (id, vec) — O(n·planes)
+    * candidate output even when a million near-identical vectors share
+    * one bucket. The min's own probes still enter the hamming-1
+    * neighbor buckets, so cross-bucket connectivity for [[components]]
+    * is preserved. */
   def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, planes: Int = 0,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true, pairMode: String = "all",
+      nHint: Long = -1L, collectMetrics: Boolean = false): DataFrame = {
     graft.functions.VectorOps.register(df.sparkSession)
     import df.sparkSession.implicits._
-    val nPlanes = if (planes > 0) planes else autoPlanes(df.count())
+    requirePairMode(pairMode)
+    val nPlanes =
+      if (planes > 0) planes
+      else autoPlanes(if (nHint > 0) nHint else df.count())
     val v = df.select(longId(df, idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, nPlanes))
@@ -712,10 +858,23 @@ object Dedup {
           col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = v.select($"id".as("a"), $"vec".as("va"),
       explode(probes).as("pb"))
-    val b = v.select($"id".as("b"), $"vec".as("vb"),
-      $"bucket".as("pb"))
-    a.join(b, Seq("pb"))
-      .filter($"a" < $"b")
+    val candidates = pairMode match {
+      case "star" =>
+        val mins = v.groupBy($"bucket".as("pb"))
+          .agg(min(struct($"id", $"vec")).as("m"))
+          .select($"pb", $"m.id".as("b"), $"m.vec".as("vb"))
+        a.join(mins, Seq("pb")).filter($"a" =!= $"b")
+          .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"),
+            $"va", $"vb")
+      case _ =>
+        val b = v.select($"id".as("b"), $"vec".as("vb"),
+          $"bucket".as("pb"))
+        a.join(b, Seq("pb")).filter($"a" < $"b")
+    }
+    if (collectMetrics)
+      recordLshMetrics("embedding_cosine_lsh", pairMode,
+        v.select($"id", $"bucket"), Seq("bucket"), -1L)
+    candidates
       .select($"a", $"b",
         round(Similarity.cosine($"va", $"vb"), 4).as("sim"))
       .filter($"sim" >= threshold)
@@ -778,9 +937,15 @@ object Dedup {
     // big and the distributed loop takes over (edges stays persisted
     // for it); otherwise we already hold the whole edge list. Never an
     // unbounded collect.
+    // probe.length < cap, NOT <= driverMaxEdges: when driverMaxEdges
+    // >= Int.MaxValue the limit() clamps to Int.MaxValue rows, and a
+    // graph with more edges would satisfy `probe.length <=
+    // driverMaxEdges` on a TRUNCATED edge list — silently wrong
+    // components. A full probe (== cap) always falls through to the
+    // distributed tier instead.
     val cap = math.min(driverMaxEdges + 1, Int.MaxValue.toLong).toInt
     val probe = if (cap > 0) edges.limit(cap).collect() else Array.empty[org.apache.spark.sql.Row]
-    if (probe.length <= driverMaxEdges) {
+    if (probe.length < cap) {
       val arr = probe.map(r => (r.getLong(0), r.getLong(1)))
       edges.unpersist()
       // explicit schema + Rows, not a product-encoder toDF: keeps the
@@ -929,7 +1094,8 @@ object Dedup {
     * 20 tables on 32 bits — linear candidate growth out to 10^9+ docs;
     * see [[hammingPairs]] for the full replication/key-width trade. */
   def simHash(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, maxHamming: Int = 3, chunks: Int = 6): DataFrame = {
+      n: Int = 4, maxHamming: Int = 3, chunks: Int = 6,
+      pairMode: String = "all"): DataFrame = {
     require(maxHamming <= chunks - 1,
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
@@ -943,7 +1109,7 @@ object Dedup {
     val hashes = df.filter(length(trim(col(textCol))) > 0)
       .select(longId(df, idCol).as("id"),
         graft.functions.SimHashOps.simhash64(col(textCol), n).as("sh"))
-    hammingPairs(hashes, maxHamming, chunks)
+    hammingPairs(hashes, maxHamming, chunks, pairMode)
   }
 
   /** Even split of the 64 hash bits into `chunks` blocks:
@@ -1012,25 +1178,54 @@ object Dedup {
     * this: 2000 docs sharing 16 bits → 2.0M in-bucket pairs at
     * chunks=4 vs ~linear at chunks=6). */
   def hammingPairs(hashes: DataFrame, maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4, pairMode: String = "all",
+      collectMetrics: Boolean = false): DataFrame = {
     require(chunks >= 1 && chunks <= 64, s"chunks must be 1..64, got $chunks")
     require(maxHamming <= chunks - 1,
       s"recall guarantee needs maxHamming <= chunks-1 " +
         s"(pigeonhole); got maxHamming=$maxHamming, chunks=$chunks")
+    requirePairMode(pairMode)
+    // replication bound: each row explodes into one key PER TABLE, and
+    // tables = C(chunks, chunks-maxHamming) grows combinatorially
+    // (chunks=64, h=3 would be 41 664 keys/row — a silent memory/shuffle
+    // blowup, not a scale knob). 512 covers every sane configuration
+    // (chunks=8,h=3 → 56; chunks=12,h=4 → 495); beyond it the caller
+    // wants a different scheme, not more tables.
+    val nTables = combinations(chunks, chunks - maxHamming).size
+    require(nTables <= 512,
+      s"C(chunks, chunks-maxHamming) = $nTables tables would replicate " +
+        s"every row ${nTables}x in the explode; cap is 512 — lower " +
+        "chunks or raise maxHamming-adjacent block width instead")
     val spark = hashes.sparkSession
     import spark.implicits._
     val chunked = hashes.select($"id", $"sh",
       posexplode(array(tableKeys($"sh", maxHamming, chunks): _*))
         .as(Seq("tbl", "ck")))
-    val a = chunked.select($"tbl", $"ck", $"id".as("a"), $"sh".as("sha"))
-    val b = chunked.select($"tbl", $"ck", $"id".as("b"), $"sh".as("shb"))
     // hamming-filter BEFORE the pair distinct: bucket-mates are quadratic
     // in bucket size, survivors are few — the distinct shuffle should
     // only carry survivors (hamming is deterministic per pair, so
     // filter-then-distinct ≡ distinct-then-filter)
-    a.join(b, Seq("tbl", "ck")).filter($"a" < $"b")
-      .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
-      .filter($"hamming" <= maxHamming)
+    val verified = pairMode match {
+      case "star" =>
+        // bucket min carries its hash via min(struct): one aggregate,
+        // no extra join back to `hashes`
+        val mins = chunked.groupBy($"tbl", $"ck")
+          .agg(min(struct($"id", $"sh")).as("m"))
+          .select($"tbl", $"ck", $"m.id".as("a"), $"m.sh".as("sha"))
+        chunked.join(mins, Seq("tbl", "ck")).filter($"id" > $"a")
+          .withColumn("hamming", bit_count($"sha".bitwiseXOR($"sh")))
+          .select($"a", $"id".as("b"), $"hamming")
+      case _ =>
+        val a = chunked.select($"tbl", $"ck", $"id".as("a"), $"sh".as("sha"))
+        val b = chunked.select($"tbl", $"ck", $"id".as("b"), $"sh".as("shb"))
+        a.join(b, Seq("tbl", "ck")).filter($"a" < $"b")
+          .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
+          .select($"a", $"b", $"hamming")
+    }
+    if (collectMetrics)
+      recordLshMetrics("hamming_multitable", pairMode,
+        chunked, Seq("tbl", "ck"), -1L)
+    verified.filter($"hamming" <= maxHamming)
       .select($"a", $"b", $"hamming").distinct()
   }
 
@@ -1101,12 +1296,20 @@ object Dedup {
     * bounds the self-join on boilerplate audio), then ONE counter
     * groupBy keyed by (a, b, delta). Landmarks per clip are O(frames ·
     * peaksPerFrame · fanout) ≈ hundreds, and only (id, hash, t1) ints
-    * reach the exchange — never waveforms. */
+    * reach the exchange — never waveforms.
+    *
+    * `maxHashDf` follows the same SCALING RULE as
+    * [[ngramJaccard]].maxShingleDf: the absolute is the fixed-corpus /
+    * oracle form; at growing corpus sizes pass `maxHashDfFrac` (cap =
+    * max(1, ceil(frac · nClips)), one countDistinct over the persisted
+    * landmark index) so "hot hash" keeps meaning a corpus FRACTION. */
   def audioFingerprintMatch(df: DataFrame, idCol: String,
       bytesCol: String, codecCol: String, minMatches: Long = 6,
-      maxHashDf: Long = 64): DataFrame = {
+      maxHashDf: Long = 64, maxHashDfFrac: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(maxHashDfFrac <= 1.0,
+      s"maxHashDfFrac is a fraction of the corpus, got $maxHashDfFrac")
     val lm = df.select(longId(df, idCol).as("id"),
       col(codecCol).as("codec"), col(bytesCol).as("bytes"))
       .as[(Long, String, Array[Byte])]
@@ -1123,9 +1326,14 @@ object Dedup {
       // vote twice for the same delta
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashCap =
+      if (maxHashDfFrac > 0.0) {
+        val nClips = lm.select(countDistinct($"id")).head.getLong(0)
+        math.max(1L, math.ceil(maxHashDfFrac * nClips).toLong)
+      } else maxHashDf
     val rare = lm.groupBy($"hash")
       .agg(countDistinct($"id").as("df"))
-      .filter($"df" <= maxHashDf).select($"hash")
+      .filter($"df" <= hashCap).select($"hash")
     val pruned = lm.join(rare, Seq("hash"))
     val a = pruned.select($"hash", $"id".as("a"), $"t1".as("ta"))
     val b = pruned.select($"hash", $"id".as("b"), $"t1".as("tb"))

@@ -530,6 +530,112 @@ class DedupSpec extends AnyFunSuite {
     assert(plain.nonEmpty) // hot-band corpus really does pair up
     assert(salted == plain)
   }
+  /** k near-identical docs (mirrored boilerplate, 5 tiny variants) plus
+    * two unrelated singletons — the clique shape where all-pairs LSH
+    * output is quadratic. */
+  private def cliqueCorpus(k: Int) = {
+    val clique = (0 until k).map(i =>
+      (i.toLong, base + " variante " + ("x" * (i % 5))))
+    val singles = Seq(
+      (90000L, "completely different text about fish and chips in the harbor"),
+      (90001L, "le gouvernement a discuté hier du nouveau projet pour la ville"))
+    (clique ++ singles).toDF("doc_id", "text")
+  }
+
+  test("star pair mode: planted near-identical clique emits O(k) pairs " +
+      "where all-pairs emits C(k,2); keepPolicy decisions IDENTICAL") {
+    val k = 600
+    val corpus = cliqueCorpus(k)
+    val all = Dedup.minHashLsh(corpus, "doc_id", "text",
+      threshold = 0.7, collectMetrics = true)
+    val star = Dedup.minHashLsh(corpus, "doc_id", "text",
+      threshold = 0.7, pairMode = "star", collectMetrics = true)
+    val (nAll, nStar) = (all.count(), star.count())
+    info(s"pairs: all=$nAll star=$nStar (k=$k)")
+    assert(nAll >= k.toLong * (k - 1) / 2,
+      s"all-pairs mode should emit the full clique: $nAll")
+    assert(nStar <= 4L * k, s"star mode must stay linear: $nStar")
+    // star pairs are a SUBSET of all-pairs (same scoring, fewer edges)
+    val allSet = all.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starSet = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starSet.subsetOf(allSet))
+    // ... and the per-doc keep decisions are identical
+    def keeps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.keepPolicy(corpus, "doc_id", p.select(col("a"), col("b")))
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val (ka, ks) = (keeps(all), keeps(star))
+    assert(ka == ks, "star changed a keep decision")
+    assert(ka(0L) && !ka(1L) && ka(90000L) && ka(90001L))
+    // observability rows recorded for both runs, in drain order
+    val ms = Dedup.drainLshMetrics()
+    assert(ms.length == 2, s"expected 2 metrics rows, got $ms")
+    val Seq(mAll, mStar) = ms
+    assert(mAll.pair_mode == "all" && mStar.pair_mode == "star")
+    assert(mAll.max_bucket >= k / 5,
+      s"clique bucket should be visible: ${mAll.max_bucket}")
+    assert(mAll.allpairs_candidates == mStar.allpairs_candidates,
+      "allpairs_candidates is mode-independent")
+    assert(mStar.candidate_pairs < mAll.candidate_pairs / 10,
+      s"star candidates ${mStar.candidate_pairs} should be far below " +
+        s"all-pairs ${mAll.candidate_pairs}")
+    assert(mAll.survivor_pairs == nAll && mStar.survivor_pairs == nStar)
+    assert(Dedup.drainLshMetrics().isEmpty, "drain must empty the sink")
+  }
+
+  test("hammingPairs star mode: same components as all-pairs on the " +
+      "hot-block corpus; table-count blowup rejected") {
+    val n = 500
+    val shared = 0xBEEFL
+    val rand = (0 until n).map { i =>
+      val r = graft.util.Mix.mix(i.toLong) & ~0xFFFFL
+      (i.toLong, r | shared)
+    }
+    // planted hamming-ball clique around doc 0: five 1-bit flips of its
+    // hash (pairwise hamming 2) — the near-dup cluster both modes must
+    // resolve into ONE component
+    val base0 = rand.head._2
+    val planted = (0 until 5).map(k => (9000L + k, base0 ^ (1L << (10 + k))))
+    val hashes = (rand ++ planted).toDF("id", "sh")
+    val all = Dedup.hammingPairs(hashes, maxHamming = 3, chunks = 6)
+    val star = Dedup.hammingPairs(hashes, maxHamming = 3, chunks = 6,
+      pairMode = "star")
+    val starSet = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allSet = all.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starSet.subsetOf(allSet))
+    def labels(p: org.apache.spark.sql.DataFrame) =
+      Dedup.components(p.select(col("a"), col("b")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // identical component structure wherever hamming<=3 edges form
+    // cliques (hot-block corpus: random high bits => pairs are sparse
+    // and exact-verified in both modes)
+    val (la, ls) = (labels(all), labels(star))
+    assert(la == ls, "star changed the component structure")
+    assert((0 until 5).forall(k => la(9000L + k) == 0L),
+      s"planted clique must collapse onto doc 0: $la")
+    // replication cap: chunks=64, h=3 would be C(64,61)=41664 tables
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(hashes, maxHamming = 3, chunks = 64)
+    }
+    assert(e.getMessage.contains("tables"))
+  }
+
+
+  test("fractional df pruning reproduces the absolute form at a known " +
+      "corpus size (scaling rule)") {
+    // 6-doc fixture: all docs shingle (no blank text), so nDocs = 6 and
+    // frac = cap/nDocs reproduces maxShingleDf = cap exactly
+    def run(abs: Long, frac: Double) =
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = abs, maxShingleDfFrac = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    assert(run(3L, 0.0) == run(999L, 3.0 / 6.0),
+      "frac = 3/6 docs must reproduce maxShingleDf = 3")
+    assert(run(2L, 0.0) == run(999L, 2.0 / 6.0))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccard(docs, "doc_id", "text", maxShingleDfFrac = 1.5)
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -598,6 +704,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(buckets(2L).isEmpty && buckets(3L).isEmpty,
       s"null vectors must get null buckets, got $buckets")
   }
+
+  test("embedding LSH star mode: planted copies still recovered, " +
+      "keep decisions identical to all-pairs; nHint skips the count") {
+    val base = (0L until 200L).map { i =>
+      val v = Array.tabulate(32) { d =>
+        (graft.util.Mix.mix(i * 97L + d).toDouble / Long.MaxValue).toFloat
+      }
+      (i, v)
+    }
+    val planted = (0L until 20L).map { k =>
+      val src = base(k.toInt * 7)._2
+      val v = Array.tabulate(32) { d =>
+        src(d) + ((graft.util.Mix.mix(k * 131L + d).toDouble /
+          Long.MaxValue) * 1e-3).toFloat
+      }
+      (1000L + k, v)
+    }
+    val vecs = (base ++ planted).toDF("vec_id", "embedding")
+    val all = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 32, threshold = 0.999, planes = 24)
+    val star = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 32, threshold = 0.999, planes = 24, pairMode = "star")
+    val expected = (0L until 20L).map(k => (k * 7, 1000L + k)).toSet
+    val starSet = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(starSet),
+      s"star missed planted pairs: ${expected -- starSet}")
+    def keeps(p: org.apache.spark.sql.DataFrame) =
+      Dedup.keepPolicy(vecs, "vec_id", p.select(col("a"), col("b")))
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(keeps(all) == keeps(star), "star changed a keep decision")
+    // nHint: same planes as an explicit count → identical output
+    val hinted = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 32, threshold = 0.999, planes = 0, nHint = 220L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val counted = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+      dim = 32, threshold = 0.999, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted == counted)
+  }
+
 }
 
 class SessionCacheSpec extends AnyFunSuite {
