@@ -306,3 +306,99 @@ object VotesFixtures {
       Map("ensemble" -> Map("de" -> 0.6, "fr" -> 0.3, "lb" -> 0.1)),
       Map.empty, support, Map.empty, Map.empty, 80L, "ts")
 }
+
+/** The synthetic-corpus oracle harness must stay MEANINGFUL: if a recipe
+  * change quietly collapses the corpus onto a few decision paths, the
+  * engine-independent pin in `cascade_decide`/`stage1b_stats` stops
+  * guarding anything. These tests assert path coverage and that the pin
+  * is SENSITIVE — flipping one threshold changes decisions. */
+class SynthCascadeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private lazy val rows = (0L until 500L).map(SynthCascade.row)
+
+  private def decide(p: Stage2.Params) = {
+    val bySrc = SynthCascade.stats.map(s => s.source -> s).toMap
+    rows.map(r => r.clip_id ->
+      Stage2.decide(r, bySrc(r.source), p)).toMap
+  }
+
+  test("synthetic corpus exercises every decision code and drop reason") {
+    val d = decide(SynthCascade.params).values.toSeq
+    val codes = d.map(_.lg_decision).toSet
+    assert(codes == Set("all", "all-but-impresso_ft", "dominant-by-len",
+      "dominant-by-lowvote", "voting", "undecodable"),
+      s"decision codes degenerated to $codes")
+    val reasons = d.flatMap(x => Option(x.drop_reason)).toSet
+    assert(Set("undecodable_audio", "silent_audio", "low_alpha", "no_text",
+      "short_text", "high_ppl", "no_lang", "inadmissible_lang")
+      .subsetOf(reasons), s"drop reasons degenerated to $reasons")
+    assert(d.count(_.keep) > 50, "keep path must stay populated")
+    // the skip_reason pass-through gate (id % 13 with ratio >= 0.5) is
+    // distinct from the ratio<0.5 low_alpha gate
+    val skipGate = decide(SynthCascade.params).collect {
+      case (cid, x) if {
+        val r = SynthCascade.row(cid.stripPrefix("d").toLong)
+        cid.stripPrefix("d").toLong % 13 == 0 &&
+          r.alphabetical_ratio.exists(_ >= 0.5) &&
+          r.audio_ok && r.audio_rms >= 10.0 // audio gates fire first
+      } => x.drop_reason
+    }
+    assert(skipGate.nonEmpty && skipGate.forall(_ == "low_alpha"))
+  }
+
+  test("the pin is sensitive: each threshold flip changes decisions") {
+    val base = decide(SynthCascade.params)
+    // compare exactly the surface the oracle pins: lg, decision, keep,
+    // orig_lg, and the votes head (weightLb can reorder small votes
+    // without flipping the winner — top_lang/top_vote still change)
+    def changed(p: Stage2.Params): Int =
+      decide(p).count { case (k, v) =>
+        val b = base(k)
+        v.lg != b.lg || v.lg_decision != b.lg_decision ||
+          v.keep != b.keep || v.orig_lg != b.orig_lg ||
+          v.votes.headOption != b.votes.headOption ||
+          v.votes.length != b.votes.length
+      }
+    assert(changed(SynthCascade.params.copy(minVotingScore = 2.0)) > 0)
+    assert(changed(SynthCascade.params.copy(minProb = 0.7)) > 0)
+    assert(changed(SynthCascade.params.copy(minimalTextLength = 40)) > 0)
+    assert(changed(SynthCascade.params.copy(alphaThreshold = 0.4)) > 0)
+    assert(changed(SynthCascade.params.copy(
+      thresholdConfidenceOrigLg = 0.77)) > 0) // kills s3's 0.76 trust
+    assert(changed(SynthCascade.params.copy(weightLb = 1.0)) > 0)
+    assert(changed(SynthCascade.params.copy(excludeLb = Set.empty)) > 0)
+    assert(changed(SynthCascade.params.copy(dominantThreshold = 0.99)) > 0)
+  }
+
+  test("stage1b over the synthetic corpus: boost-iff->=2 and " +
+      "denominator-n quirk are load-bearing") {
+    import spark.implicits._
+    val ds = spark.createDataset(rows)
+    val stats = Stage1b(spark, ds).collect().map(s => s.source -> s).toMap
+    assert(stats.keySet == Set("s0", "s1", "s2", "s3"))
+    // every source has ensemble decisions AND at least one valid row
+    stats.values.foreach { s =>
+      assert(s.n > 0 && s.lid_absolute_counts.contains("ensemble"), s.source)
+      // denominator quirk: dist sums over a lid can exceed... no — each
+      // lid's dist sums to cnt_lid/n <= 1, == 1 only when the lid
+      // predicted on every valid row
+      val distSum = s.lid_distributions("ensemble").values.sum
+      val cntSum = s.lid_absolute_counts("ensemble").values.sum
+      assert(math.abs(distSum - cntSum.toDouble / s.n) < 1e-6)
+    }
+    // voting-knob sensitivity: a boost large enough to cross plain
+    // 3-voter scores, and a minProb raise that drops voters, must both
+    // move the ensemble counts (boost 1.5->1.0 happens not to flip any
+    // winner on this corpus — 2.5 vs 2.0 never crosses a 3.0)
+    def ensCounts(p: Stage1b.Params) =
+      Stage1b(spark, ds, p).collect()
+        .map(s => s.source ->
+          s.lid_absolute_counts.getOrElse("ensemble", Map.empty)).toMap
+    val baseEns = ensCounts(Stage1b.Params())
+    assert(baseEns != ensCounts(Stage1b.Params(boostFactor = 3.0)),
+      "boostFactor=3.0 should change some ensemble outcome")
+    assert(baseEns != ensCounts(Stage1b.Params(minProb = 0.6)),
+      "minProb=0.6 should change some ensemble outcome")
+  }
+}
