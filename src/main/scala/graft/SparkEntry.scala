@@ -118,7 +118,15 @@ object SparkEntry {
   private def sessionSlot[K, V](cache: java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.HashMap[K, V]], s: SparkSession):
       scala.collection.mutable.HashMap[K, V] = {
-    if (s.sparkContext.isStopped) cache.remove(s)
+    // Sweep EVERY stopped session's entry, not just `s`'s: the weak keys
+    // alone never collect, because a cached value holds Datasets whose
+    // QueryExecution strongly references its SparkSession — the value
+    // pins the key for the JVM lifetime. The map is tiny (one entry per
+    // session ever seen), so a full sweep per access is free, and it is
+    // the only reclamation path for sessions that are stopped and never
+    // looked up again.
+    cache.entrySet().removeIf(e =>
+      e.getKey == null || e.getKey.sparkContext.isStopped)
     Option(cache.get(s)).getOrElse {
       val m = scala.collection.mutable.HashMap.empty[K, V]
       cache.put(s, m); m
@@ -272,6 +280,26 @@ object SparkEntry {
            (15 + ((b.id * s.kj + 3 * s.j) % 85)) / 100.0 AS prob
          FROM base b CROSS JOIN sysc s
          WHERE (b.id * s.pj) % 23 >= 2)"""
+
+  /** Shared by `text_decontaminate` (unhashed) and
+    * `text_decontaminate_hashed`: the hashed path's contract is
+    * value-identity with these semantics, so both rows pin against the
+    * same engine-independent SQL. */
+  private def decontaminateOracleSql: String =
+    s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
+        bsh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 10) AS shingle
+                FROM docs, generate_series(1, 2000) g(i)
+                WHERE doc_id % 29 = 0 AND length(t) > 0
+                  AND i <= greatest(length(t) - 9, 1)),
+        dsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 10) AS shingle
+                FROM docs, generate_series(1, 2000) g(i)
+                WHERE doc_id % 29 <> 0 AND length(t) > 0
+                  AND i <= greatest(length(t) - 9, 1)),
+        tot AS (SELECT doc_id, count(*) AS total FROM dsh GROUP BY 1),
+        hit AS (SELECT doc_id, count(*) AS hits FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
+        SELECT h.doc_id AS id, hits, total,
+               round(CAST(hits AS DOUBLE) / total, 4) AS rate
+        FROM hit h JOIN tot USING (doc_id) WHERE hits >= 1"""
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- P: per-row scalar surface (SURVEY §2.2)
@@ -576,6 +604,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 29 =!= 0),
         docs.filter(col("doc_id") % 29 === 0),
         "doc_id", "text", n = 10, minHits = 1)
+    }),
+    "text_decontaminate_hashed" -> ((s, d) => {
+      // same contract as text_decontaminate but through the
+      // production-broadcast path (xxhash64 join keys, ~5x smaller
+      // broadcast). The oracle is the SAME engine-independent SQL as
+      // the unhashed row: hashed mode is DEFINED to be value-identical
+      // up to 64-bit collisions (~1e-10 per 10^5-shingle benchmark), so
+      // a green row pins the whole hashed path — shingling, hashing
+      // symmetry, join, counters — against DuckDB; a collision or any
+      // asymmetry between the two xxhash64 applications flips it red.
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 29 =!= 0),
+        docs.filter(col("doc_id") % 29 === 0),
+        "doc_id", "text", n = 10, minHits = 1, hashed = true)
     }),
     "dedup_minhash_lsh" -> ((s, d) =>
       // oracle-checked VALUE-exact: every stage (FNV-1a shingle hash,
@@ -1675,21 +1718,10 @@ object SparkEntry {
           SELECT doc_id, lang, source, n_words FROM g2
           WHERE n_words BETWEEN 10 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
             AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND stop_hits >= 1""",
-    "text_decontaminate" ->
-      s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
-          bsh AS (SELECT DISTINCT substr(t, CAST(i AS INT), 10) AS shingle
-                  FROM docs, generate_series(1, 2000) g(i)
-                  WHERE doc_id % 29 = 0 AND length(t) > 0
-                    AND i <= greatest(length(t) - 9, 1)),
-          dsh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 10) AS shingle
-                  FROM docs, generate_series(1, 2000) g(i)
-                  WHERE doc_id % 29 <> 0 AND length(t) > 0
-                    AND i <= greatest(length(t) - 9, 1)),
-          tot AS (SELECT doc_id, count(*) AS total FROM dsh GROUP BY 1),
-          hit AS (SELECT doc_id, count(*) AS hits FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
-          SELECT h.doc_id AS id, hits, total,
-                 round(CAST(hits AS DOUBLE) / total, 4) AS rate
-          FROM hit h JOIN tot USING (doc_id) WHERE hits >= 1""",
+    "text_decontaminate" -> decontaminateOracleSql,
+    // identical oracle by design — see the query's scaladoc: hashed
+    // mode must be value-identical to the unhashed semantics
+    "text_decontaminate_hashed" -> decontaminateOracleSql,
     "dedup_repeated_spans" ->
       // true winnowing: every 8-window of hash positions selects its
       // RIGHTMOST minimum. Key = md5hex || lpad(100000-pos): min(key)

@@ -157,4 +157,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(dropped.values.sum == N)
     info(dropped.toString)
   }
+
+  test("LSH observability rows land in the metrics-table adapter " +
+      "(100-TB operators trend candidate counts per run)") {
+    import spark.implicits._
+    operators.Dedup.drainLshMetrics() // isolate from earlier suites
+    val docs = (0L until 200L).map(i =>
+      (i, "metrics corpus doc shared boilerplate line " + (i % 4)))
+      .toDF("doc_id", "text")
+    operators.Dedup.minHashLsh(docs, "doc_id", "text",
+      threshold = 0.7, collectMetrics = true)
+    val m = operators.Dedup.lshMetricsDf(spark)
+    assert(m.columns.toSet == Set("tier", "pair_mode", "n_rows",
+      "n_buckets", "max_bucket", "candidate_pairs",
+      "allpairs_candidates", "survivor_pairs"))
+    val rows = m.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("tier") == "minhash_lsh")
+    assert(r.getAs[Long]("max_bucket") >= 50,
+      "the planted 4-template corpus must show its hot buckets")
+    assert(r.getAs[Long]("allpairs_candidates") >=
+      r.getAs[Long]("candidate_pairs"))
+    // the adapter drains: a second read is empty (each run's rows are
+    // appended to the lineage table exactly once)
+    assert(operators.Dedup.lshMetricsDf(spark).isEmpty)
+  }
 }

@@ -155,6 +155,34 @@ class QueriesSpec extends AnyFunSuite {
       s"ivf ${ivf.values.sum} < lsh ${lsh.values.sum}")
   }
 
+  test("ivf recall pinned at a SECOND and THIRD configuration — a " +
+      "quantizer regression cannot hide behind one lucky setting") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    def recall(nLists: Int, nProbe: Int) = {
+      val hits = operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+          qids, nLists = nLists, nProbe = nProbe, k = 5)
+        .select(col("qid"), col("vid"), lit(1).as("hit"))
+      operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", qids, k = 5)
+        .join(hits, Seq("qid", "vid"), "left")
+        .groupBy(col("qid"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    // same 25% scan fraction through a COARSER quantizer (8 lists):
+    // exercises farthest-point init + Lloyd on a different list count
+    assert(recall(8, 2) ==
+      Map(0L -> 0.0, 1L -> 0.4, 2L -> 0.8, 3L -> 0.8, 4L -> 0.2))
+    // finer quantizer (32 lists, probe 8): recall profile shifts UP on
+    // most queries; exact pin again
+    val fine = recall(32, 8)
+    assert(fine ==
+      Map(0L -> 0.8, 1L -> 1.0, 2L -> 0.4, 3L -> 0.8, 4L -> 0.6))
+    assert(recall(32, 8) == fine) // retrain → bit-identical
+  }
+
   test("mixture/pivot/nfc plans: broadcasts where intended, no global window") {
     val mix = SparkEntry.queries("sample_mixture_balance")(spark, sf)
       .queryExecution.executedPlan.toString
