@@ -300,7 +300,15 @@ object Dedup {
     * distinct. Semantics note: the emitted pair LIST is a subset of
     * all-pairs mode (member↔member edges are dropped), so all-pairs
     * stays the oracle/audit mode; star changes which pairs are
-    * VERIFIED, not how any pair is scored. Plan shape: the bucket-min
+    * VERIFIED, not how any pair is scored. Recall caveat (be honest
+    * about the trade): in a MIXED bucket whose minimum is not itself a
+    * near-dup of two members a,b, the a↔b edge goes unverified — star
+    * preserves connectivity exactly for duplicate CLIQUES (where every
+    * member, including the min, is pairwise-near) and under-connects
+    * only on hash-collision cohabitants, which the verify stage was
+    * going to reject pairwise anyway in every case except a≁min∧b≁min
+    * ∧a~b. Each tier's banding re-rolls the buckets per band/table, so
+    * a genuine pair missed in one bucket usually re-pairs in another. Plan shape: the bucket-min
     * aggregate and the join back both key on the bucket columns, so AQE
     * reuses one exchange and the shuffle carries (keys, id) only. */
   private def starPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
