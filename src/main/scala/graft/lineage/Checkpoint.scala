@@ -96,4 +96,27 @@ object Checkpoint {
 
   def readOutput(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/data")
+
+  /** Drain the LSH observability counters recorded since the last drain
+    * (graft.operators.Dedup.LshMetrics — buckets, max bucket size,
+    * candidate vs all-pairs counts, survivors) into a durable metrics
+    * table under the checkpoint dir, stamped with a run label. This is
+    * how a 10^12-row dedup job sees the quadratic candidate trend
+    * ACROSS runs — the in-memory queue dies with the driver; the
+    * parquet append outlives it next to the lineage manifest it
+    * explains. Returns the number of rows appended (0 = no LSH runs
+    * recorded, nothing written). */
+  def appendLshMetrics(spark: SparkSession, dir: String,
+      runLabel: String): Long = {
+    val df = graft.operators.Dedup.lshMetricsDf(spark)
+      .withColumn("run", lit(runLabel))
+      .withColumn("ts", lit(Thresholds.FixedTs))
+    val n = df.count()
+    if (n > 0)
+      df.coalesce(1).write.mode("append").parquet(s"$dir/lsh_metrics")
+    n
+  }
+
+  def readLshMetrics(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lsh_metrics")
 }

@@ -182,5 +182,20 @@ class PipelineSpec extends AnyFunSuite {
     // the adapter drains: a second read is empty (each run's rows are
     // appended to the lineage table exactly once)
     assert(operators.Dedup.lshMetricsDf(spark).isEmpty)
+
+    // durable path: counters from TWO runs append under the checkpoint
+    // dir with run labels and survive the in-memory queue's drain
+    val dir = java.nio.file.Files.createTempDirectory("lshm").toString
+    operators.Dedup.minHashLsh(docs, "doc_id", "text",
+      threshold = 0.7, collectMetrics = true)
+    assert(lineage.Checkpoint.appendLshMetrics(spark, dir, "run1") == 1)
+    operators.Dedup.minHashLsh(docs, "doc_id", "text",
+      threshold = 0.7, pairMode = "star", collectMetrics = true)
+    assert(lineage.Checkpoint.appendLshMetrics(spark, dir, "run2") == 1)
+    assert(lineage.Checkpoint.appendLshMetrics(spark, dir, "idle") == 0)
+    val durable = lineage.Checkpoint.readLshMetrics(spark, dir)
+    assert(durable.count() == 2)
+    assert(durable.select("run").collect().map(_.getString(0)).toSet ==
+      Set("run1", "run2"))
   }
 }
