@@ -627,6 +627,16 @@ object SparkEntry {
       // DuckDB oracle reproduces bit-for-bit in HUGEINT
       Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 16, threshold = 0.5)),
+    "dedup_minhash_lsh_star" -> ((s, d) =>
+      // the clique-safe candidate mode, VALUE-pinned like its all-pairs
+      // twin: identical signatures/buckets/estimates, but candidates
+      // pair each bucket member only with the bucket minimum — the
+      // oracle swaps ONE CTE (the candidate join) and everything else
+      // is shared, so a regression in star pairing itself (not just its
+      // downstream keep behavior) flips an engine-independent check
+      Dedup.minHashLsh(t(s, d, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 16, threshold = 0.5,
+        pairMode = "star")),
     "dedup_minhash_oph" -> ((s, d) =>
       // one-permutation-hashing scale path — oracle-checked VALUE-exact
       // like the k-perm tier: per-band splitmix bin assignment,
@@ -1798,63 +1808,19 @@ object SparkEntry {
       // Σ c_i·v_i mod P; candidates join on (band, bucket); estimate =
       // equal-slot fraction. Validated value-identical vs the Scala
       // path at sf0.01 and sf0.1.
-      s"""WITH seeds AS (
-            SELECT kind, j, CAST(x0 AS HUGEINT) + 11400714819323198485 AS x0g FROM (
-              SELECT 'a' AS kind, j, 2*j + 1 AS x0 FROM generate_series(0, 63) g(j)
-              UNION ALL SELECT 'b', j, 2*j + 2 FROM generate_series(0, 63) g(j)
-              UNION ALL SELECT 'c', j, 1000003 + j FROM generate_series(0, 63) g(j))),
-          mx1 AS (SELECT kind, j, x0g % 18446744073709551616 AS x1 FROM seeds),
-          mx2 AS (SELECT kind, j,
-            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
-             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
-            % 18446744073709551616 AS x2 FROM mx1),
-          mx3 AS (SELECT kind, j,
-            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
-             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
-            % 18446744073709551616 AS x3 FROM mx2),
-          mabs AS (SELECT kind, j,
-            xor(x3, x3 // 2147483648) % 9223372036854775808 AS am FROM mx3),
-          perms AS (
-            SELECT pa.j, (pa.am % 2305843009213693950) + 1 AS a, pb.am % 2305843009213693951 AS b
-            FROM mabs pa JOIN mabs pb ON pa.j = pb.j AND pa.kind = 'a' AND pb.kind = 'b'),
-          coefs AS (SELECT j, (am % 2305843009213693950) + 1 AS c FROM mabs WHERE kind = 'c'),
-          docs AS (
-            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
-            WHERE length(trim(coalesce(text, ''))) > 0),
-          sh AS (
-            SELECT DISTINCT doc_id,
-              CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INT), 5) END AS s
-            FROM docs, generate_series(1, 2000) g(i)
-            WHERE i <= greatest(length(t) - 4, 1)),
-          hx AS (
-            SELECT doc_id, (list_reduce(
-              list_prepend(14695981039346656037::HUGEINT,
-                list_transform(generate_series(1, length(s)),
-                  i -> unicode(substr(s, i, 1))::HUGEINT)),
-              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
-                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
-                  * 4294967296) % 18446744073709551616)
-              % 9223372036854775808) % 2305843009213693951 AS x
-            FROM sh),
-          sig AS (
-            SELECT doc_id, p.j, min((p.a * hx.x + p.b) % 2305843009213693951) AS v
-            FROM hx CROSS JOIN perms p GROUP BY doc_id, p.j),
-          bk AS (
-            SELECT doc_id, s.j // 4 AS band,
-              sum((c.c * s.v) % 2305843009213693951) % 2305843009213693951 AS bucket
-            FROM sig s JOIN coefs c USING (j) GROUP BY doc_id, s.j // 4),
-          cand AS (
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
-              AND x.doc_id < y.doc_id),
-          eq AS (
-            SELECT c.a, c.b, sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS neq
-            FROM cand c
-            JOIN sig sa ON sa.doc_id = c.a
-            JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
-            GROUP BY c.a, c.b)
-          SELECT a, b, round(neq / 64.0, 4) AS est_jaccard
-          FROM eq WHERE round(neq / 64.0, 4) >= 0.5""",
+      minhashKpermOracleSql(
+        """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bk x JOIN bk y ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id"""),
+    "dedup_minhash_lsh_star" ->
+      // identical pipeline, ONE swapped CTE: candidates = each bucket
+      // member paired with its bucket minimum (starPairs semantics)
+      minhashKpermOracleSql(
+        """SELECT DISTINCT m.a, y.doc_id AS b
+           FROM bk y JOIN (SELECT band, bucket, min(doc_id) AS a
+                           FROM bk GROUP BY band, bucket) m
+             ON m.band = y.band AND m.bucket = y.bucket
+               AND y.doc_id > m.a"""),
     "dedup_minhash_oph" ->
       // Bit-for-bit reproduction of the OPH path (signatureOph):
       // per distinct 5-gram shingle, h = FNV-1a 64; per band,
