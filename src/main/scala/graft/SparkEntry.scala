@@ -301,6 +301,78 @@ object SparkEntry {
                round(CAST(hits AS DOUBLE) / total, 4) AS rate
         FROM hit h JOIN tot USING (doc_id) WHERE hits >= 1"""
 
+  /** Shared CTE prefix of the two simhash oracle rows: normalized
+    * 4-gram shingles, FNV-1a 64 per shingle (32-bit-split wrapping
+    * multiply in HUGEINT), ±1 sign votes per bit → `sig(doc_id, sh64)`. */
+  private def simhashSigSql: String =
+    s"""docs AS (
+            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+            WHERE length(trim(text)) > 0),
+          sh AS (
+            SELECT DISTINCT doc_id,
+              CASE WHEN length(t) < 4 THEN t ELSE substr(t, CAST(i AS INT), 4) END AS s
+            FROM docs, generate_series(1, 2000) g(i)
+            WHERE i <= greatest(length(t) - 3, 1)),
+          h AS (
+            SELECT doc_id, list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(generate_series(1, length(s)),
+                  i -> unicode(substr(s, i, 1))::HUGEINT)),
+              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
+                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
+                  * 4294967296) % 18446744073709551616) AS h
+            FROM sh),
+          bits AS (
+            SELECT doc_id, b,
+              CASE WHEN sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
+                THEN 1 ELSE -1 END) > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+            FROM h, generate_series(0, 63) g(b) GROUP BY doc_id, b),
+          sig AS (
+            SELECT doc_id, sum(bit * (1::HUGEINT << b))::HUGEINT AS sh64
+            FROM bits GROUP BY doc_id)"""
+
+  /** The 20 Manku tables for chunks=6, maxHamming=3 as (tbl, divisor,
+    * modulus, factor) triples per subset member — one VALUES row per
+    * 3-subset of the 6 blocks (widths [11,11,11,11,10,10], ascending
+    * lexicographic like Scala's `combinations`); key = bx·2^(wy+wz) +
+    * by·2^wz + bz, the same fold tableKeys computes with shifts. */
+  private val simhashStarTables: String = {
+    val w = Array(11, 11, 11, 11, 10, 10)
+    val start = w.scanLeft(0)(_ + _)
+    (0 until 6).combinations(3).zipWithIndex.map { case (bs, t) =>
+      val Seq(x, y, z) = bs
+      s"($t, ${1L << start(x)}, ${1L << w(x)}, ${1L << (w(y) + w(z))}, " +
+        s"${1L << start(y)}, ${1L << w(y)}, ${1L << w(z)}, " +
+        s"${1L << start(z)}, ${1L << w(z)})"
+    }.mkString(", ")
+  }
+
+  /** Shared CTE prefix of the two embedding-LSH oracle rows: splitmix64
+    * plane components (identical construction to sim_ann_lsh_recall's
+    * oracle, 8 planes), sign-bit buckets → `c(vec_id, vec, bucket)`. */
+  private val embeddingLshBucketsSql: String =
+    """WITH pd AS (
+            SELECT p, d, (p::HUGEINT * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS x1
+            FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
+          m2 AS (SELECT p, d,
+            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
+             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x2 FROM pd),
+          m4 AS (SELECT p, d,
+            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
+             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+            % 18446744073709551616 AS x3 FROM m2),
+          comp AS (SELECT p, d,
+            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
+                  THEN xor(x3, x3 // 2147483648) - 18446744073709551616
+                  ELSE xor(x3, x3 // 2147483648) END)::DOUBLE / 9223372036854775807 AS c
+            FROM m4),
+          planes AS (SELECT p, list(c ORDER BY d) AS pv FROM comp GROUP BY p),
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE embedding IS NOT NULL),
+          bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(vec, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+                 FROM v CROSS JOIN planes GROUP BY vec_id),
+          c AS (SELECT v.vec_id, vec, bucket FROM v JOIN bk USING (vec_id))"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- P: per-row scalar surface (SURVEY §2.2)
     "p1_alpha_ratio" -> ((s, d) => t(s, d, "documents")
@@ -686,6 +758,14 @@ object SparkEntry {
       // touches only bucket-mates.
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
         n = 4, maxHamming = 3, chunks = 6)),
+    "dedup_simhash_star" -> ((s, d) =>
+      // clique-safe candidate mode, VALUE-pinned: unlike the all-pairs
+      // row (whose oracle can sidestep bucketing via pigeonhole), this
+      // oracle reproduces the 20 multi-table keys themselves and the
+      // per-bucket min pairing — tableKeys' block fold is checked
+      // against an independent engine for the first time
+      Dedup.simHash(t(s, d, "documents"), "doc_id", "text",
+        n = 4, maxHamming = 3, chunks = 6, pairMode = "star")),
     "dedup_audio_neardup" -> ((s, _) => {
       // audio near-dup: normalized band-energy vectors, peak-band
       // buckets (±1 multi-probe), exact cosine verify. Corpus plants
@@ -739,6 +819,14 @@ object SparkEntry {
       // the tier is value-exact, low recall and all.
       Dedup.embeddingCosineLsh(t(s, d, "embeddings"), "vec_id",
         "embedding", dim = 64, threshold = 0.4, planes = 8)),
+    "dedup_embedding_lsh_star" -> ((s, d) =>
+      // star candidates: each probing vector pairs only with the
+      // minimal id of each exact bucket within hamming 1 of its own —
+      // the oracle reproduces the bucket minima and the probe ball, so
+      // the O(n·planes) candidate rule itself is engine-checked
+      Dedup.embeddingCosineLsh(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.4, planes = 8,
+        pairMode = "star")),
     "sim_norms" -> ((s, d) => {
       // vector norm via the native codegen vec_dot expression
       graft.functions.VectorOps.register(s)
@@ -1759,42 +1847,46 @@ object SparkEntry {
           SELECT span, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
           FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""",
     "dedup_simhash" ->
-      // bit-for-bit DuckDB reproduction of Dedup.simHash64: distinct
-      // 4-gram shingles of the normalized text (whole text when shorter
-      // than 4), FNV-1a 64 per shingle via list_reduce over codepoints
-      // (64-bit wrapping multiply done as a 32-bit split so the HUGEINT
-      // product can't overflow 128 bits), ±1 sign votes per bit, then
-      // exact all-pairs hamming ≤ 3 via xor + bit_count. Validated
-      // against the Scala hash value-for-value at sf0.01/sf0.1.
-      s"""WITH docs AS (
-            SELECT doc_id, ${normTextSql("text")} AS t FROM documents
-            WHERE length(trim(text)) > 0),
-          sh AS (
-            SELECT DISTINCT doc_id,
-              CASE WHEN length(t) < 4 THEN t ELSE substr(t, CAST(i AS INT), 4) END AS s
-            FROM docs, generate_series(1, 2000) g(i)
-            WHERE i <= greatest(length(t) - 3, 1)),
-          h AS (
-            SELECT doc_id, list_reduce(
-              list_prepend(14695981039346656037::HUGEINT,
-                list_transform(generate_series(1, length(s)),
-                  i -> unicode(substr(s, i, 1))::HUGEINT)),
-              (acc, x) -> (((xor(acc, x)) % 4294967296) * 1099511628211
-                + ((((xor(acc, x)) // 4294967296) * 1099511628211) % 4294967296)
-                  * 4294967296) % 18446744073709551616) AS h
-            FROM sh),
-          bits AS (
-            SELECT doc_id, b,
-              CASE WHEN sum(CASE WHEN (h // (1::HUGEINT << b)) % 2 = 1
-                THEN 1 ELSE -1 END) > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
-            FROM h, generate_series(0, 63) g(b) GROUP BY doc_id, b),
-          sig AS (
-            SELECT doc_id, sum(bit * (1::HUGEINT << b))::HUGEINT AS sh64
-            FROM bits GROUP BY doc_id)
+      // bit-for-bit DuckDB reproduction of Dedup.simHash64 (see
+      // simhashSigSql), then exact all-pairs hamming ≤ 3 via xor +
+      // bit_count — quadratic, viable only at oracle scale; pigeonhole
+      // guarantees it equals the multi-table candidate set after the
+      // hamming filter. Validated value-for-value at sf0.01/sf0.1.
+      s"""WITH $simhashSigSql
           SELECT a.doc_id AS a, b.doc_id AS b,
             CAST(bit_count(xor(a.sh64, b.sh64)) AS INTEGER) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sh64, b.sh64)) <= 3""",
+    "dedup_simhash_star" ->
+      // star mode is bucket-DEPENDENT (each member pairs only with its
+      // table-bucket minimum), so unlike the all-pairs row this oracle
+      // must reproduce the Manku multi-table keys themselves: the 64
+      // bits split [11,11,11,11,10,10], one table per 3-subset of the 6
+      // blocks (C(6,3) = 20, factors precomputed in simhashStarTables),
+      // key = fold of the subset's blocks. Candidates = per-(table,key)
+      // min paired with every other member, distinct, exact-hamming
+      // verified — pinning tableKeys, the per-table min choice and the
+      // star pairing against an independent engine.
+      s"""WITH $simhashSigSql,
+          tbls AS (SELECT * FROM (VALUES $simhashStarTables)
+                   t(tbl, dx, mx, fx, dy, my, fy, dz, mz)),
+          keys AS (
+            SELECT s.doc_id, t.tbl,
+              ((s.sh64 // t.dx) % t.mx) * t.fx
+                + ((s.sh64 // t.dy) % t.my) * t.fy
+                + ((s.sh64 // t.dz) % t.mz) AS ck
+            FROM sig s CROSS JOIN tbls t),
+          m AS (SELECT tbl, ck, min(doc_id) AS a FROM keys GROUP BY tbl, ck),
+          cand AS (
+            SELECT DISTINCT m.a, k.doc_id AS b
+            FROM keys k JOIN m ON m.tbl = k.tbl AND m.ck = k.ck
+              AND k.doc_id > m.a)
+          SELECT c.a, c.b,
+            CAST(bit_count(xor(sa.sh64, sb.sh64)) AS INTEGER) AS hamming
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a
+          JOIN sig sb ON sb.doc_id = c.b
+          WHERE bit_count(xor(sa.sh64, sb.sh64)) <= 3""",
     "dedup_minhash_lsh" ->
       // Full bit-for-bit reproduction of Dedup.minHashLsh's k-perm
       // path: splitmix64 (Golden increment + finalizer, 32-bit-split
@@ -1918,37 +2010,41 @@ object SparkEntry {
       // Exact reproduction of embeddingCosineLsh(planes=8, multiProbe):
       // the a-side probes every bucket within hamming 1 of its own and
       // joins b's exact bucket, so the candidate set is precisely
-      // {a<b : bit_count(bucket_a XOR bucket_b) <= 1}. Plane components
-      // are splitmix64 of (p<<32 | d) — identical construction to the
-      // sim_ann_lsh_recall oracle, 8 planes here.
-      """WITH pd AS (
-            SELECT p, d, (p::HUGEINT * 4294967296 + d + 11400714819323198485) % 18446744073709551616 AS x1
-            FROM generate_series(0, 7) gp(p), generate_series(0, 63) gd(d)),
-          m2 AS (SELECT p, d,
-            ((xor(x1, x1 // 1073741824) % 4294967296) * 13787848793156543929
-             + (((xor(x1, x1 // 1073741824) // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
-            % 18446744073709551616 AS x2 FROM pd),
-          m4 AS (SELECT p, d,
-            ((xor(x2, x2 // 134217728) % 4294967296) * 10723151780598845931
-             + (((xor(x2, x2 // 134217728) // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
-            % 18446744073709551616 AS x3 FROM m2),
-          comp AS (SELECT p, d,
-            (CASE WHEN xor(x3, x3 // 2147483648) >= 9223372036854775808
-                  THEN xor(x3, x3 // 2147483648) - 18446744073709551616
-                  ELSE xor(x3, x3 // 2147483648) END)::DOUBLE / 9223372036854775807 AS c
-            FROM m4),
-          planes AS (SELECT p, list(c ORDER BY d) AS pv FROM comp GROUP BY p),
-          v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings WHERE embedding IS NOT NULL),
-          bk AS (SELECT vec_id, sum(CASE WHEN list_dot_product(vec, pv) >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-                 FROM v CROSS JOIN planes GROUP BY vec_id),
-          c AS (SELECT v.vec_id, vec, bucket FROM v JOIN bk USING (vec_id))
+      // {a<b : bit_count(bucket_a XOR bucket_b) <= 1} (see
+      // embeddingLshBucketsSql for the shared plane/bucket CTEs).
+      (embeddingLshBucketsSql + """
           SELECT a, b, sim FROM (
             SELECT x.vec_id AS a, y.vec_id AS b,
               round(list_dot_product(x.vec, y.vec) /
                 (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec))), 4) AS sim
             FROM c x JOIN c y ON x.vec_id < y.vec_id
               AND bit_count(xor(x.bucket, y.bucket)) <= 1)
-          WHERE sim >= 0.4""",
+          WHERE sim >= 0.4"""),
+    "dedup_embedding_lsh_star" ->
+      // same planes/buckets (embeddingLshBucketsSql), star candidates:
+      // per-bucket minimal id paired with every vector whose probe ball
+      // (own bucket + hamming-1 neighbors) contains that bucket —
+      // exactly {(x, m): m = min(bucket B), hamming(bucket_x, B) <= 1,
+      // x != m}, least/greatest-normalized and distinct like the Scala
+      // dropDuplicates
+      (embeddingLshBucketsSql + """,
+          mins AS (SELECT bucket AS mb, min(vec_id) AS mid
+                   FROM c GROUP BY bucket)
+          SELECT p.a, p.b,
+            round(list_dot_product(ca.vec, cb.vec) /
+              (sqrt(list_dot_product(ca.vec, ca.vec))
+               * sqrt(list_dot_product(cb.vec, cb.vec))), 4) AS sim
+          FROM (
+            SELECT DISTINCT least(x.vec_id, m.mid) AS a,
+                            greatest(x.vec_id, m.mid) AS b
+            FROM c x JOIN mins m
+              ON bit_count(xor(x.bucket, m.mb)) <= 1
+                AND x.vec_id <> m.mid) p
+          JOIN c ca ON ca.vec_id = p.a
+          JOIN c cb ON cb.vec_id = p.b
+          WHERE round(list_dot_product(ca.vec, cb.vec) /
+              (sqrt(list_dot_product(ca.vec, ca.vec))
+               * sqrt(list_dot_product(cb.vec, cb.vec))), 4) >= 0.4"""),
     "dedup_minhash_verified" ->
       s"""WITH docs AS (SELECT doc_id, ${normTextSql("text")} AS t FROM documents),
           sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM docs, generate_series(1, 2000) g(i) WHERE i <= greatest(length(t) - 4, 1)),

@@ -871,9 +871,16 @@ object Dedup {
         val mins = v.groupBy($"bucket".as("pb"))
           .agg(min(struct($"id", $"vec")).as("m"))
           .select($"pb", $"m.id".as("b"), $"m.vec".as("vb"))
+        // dropDuplicates: two bucket-minima within hamming 1 of each
+        // other pair TWICE (each probes the other's bucket); after the
+        // least/greatest normalization that is the same (a, b) row, and
+        // unlike the text tiers there is no trailing distinct here —
+        // va/vb ride along (same pair => same vectors, possibly
+        // swapped, which the symmetric cosine doesn't see)
         a.join(mins, Seq("pb")).filter($"a" =!= $"b")
           .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"),
             $"va", $"vb")
+          .dropDuplicates("a", "b")
       case _ =>
         val b = v.select($"id".as("b"), $"vec".as("vb"),
           $"bucket".as("pb"))

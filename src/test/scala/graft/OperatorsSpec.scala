@@ -727,7 +727,10 @@ class SimilaritySpec extends AnyFunSuite {
     val star = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
       dim = 32, threshold = 0.999, planes = 24, pairMode = "star")
     val expected = (0L until 20L).map(k => (k * 7, 1000L + k)).toSet
-    val starSet = star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starRows = star.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val starSet = starRows.toSet
+    assert(starRows.length == starSet.size,
+      "star must not emit duplicate (a,b) rows (mutually-probing minima)")
     assert(expected.subsetOf(starSet),
       s"star missed planted pairs: ${expected -- starSet}")
     def keeps(p: org.apache.spark.sql.DataFrame) =
