@@ -1370,8 +1370,10 @@ object Dedup {
 
   def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
       codecCol: String, threshold: Double = 0.95,
-      nBands: Int = 64, saltBuckets: Int = 1): DataFrame = {
+      nBands: Int = 64, saltBuckets: Int = 1,
+      pairMode: String = "all"): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    requirePairMode(pairMode)
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
@@ -1394,16 +1396,35 @@ object Dedup {
     val a0 = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
     val b0 = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
-    val (a, b, joinKeys) =
-      if (saltBuckets == 1) (a0, b0, Seq("pb"))
-      else (
-        a0.withColumn("slt", Skew.saltFrom($"a", saltBuckets)),
-        b0.withColumn("slt",
-          explode(sequence(lit(0), lit(saltBuckets - 1)))),
-        Seq("pb", "slt"))
-    val out = a.join(b, joinKeys)
-      .filter($"a" < $"b")
-      // band vectors are L2-normalized, so cosine = dot
+    // star mode ([[starPairs]] semantics, audio flavor): each prober
+    // pairs only with the minimal (id, bands) of each exact peak-band
+    // bucket in its ±1 probe window — O(n) candidates even when one
+    // template's clips flood a band. Salting is an ALL-pairs knob (it
+    // spreads a hot bucket's quadratic join); star has no quadratic to
+    // spread and min() is a partial aggregate (map-side combine eats
+    // hot keys), so the salt path applies to all-pairs mode only.
+    val candidates = pairMode match {
+      case "star" =>
+        val mins = feats.groupBy($"pk".as("pb"))
+          .agg(min(struct($"id", $"bands")).as("m"))
+          .select($"pb", $"m.id".as("b"), $"m.bands".as("bb"))
+        a0.join(mins, Seq("pb")).filter($"a" =!= $"b")
+          .select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"),
+            $"ba", $"bb")
+      case _ =>
+        val (a, b, joinKeys) =
+          if (saltBuckets == 1) (a0, b0, Seq("pb"))
+          else (
+            a0.withColumn("slt", Skew.saltFrom($"a", saltBuckets)),
+            b0.withColumn("slt",
+              explode(sequence(lit(0), lit(saltBuckets - 1)))),
+            Seq("pb", "slt"))
+        a.join(b, joinKeys).filter($"a" < $"b")
+    }
+    val out = candidates
+      // band vectors are L2-normalized, so cosine = dot (symmetric, so
+      // the star branch's possible ba/bb swap after least/greatest is
+      // invisible; the trailing distinct absorbs mutual-min duplicates)
       .withColumn("sim",
         round(graft.functions.VectorOps.dot($"ba", $"bb"), 4))
       .filter($"sim" >= threshold)

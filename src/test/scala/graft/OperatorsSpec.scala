@@ -529,6 +529,23 @@ class DedupSpec extends AnyFunSuite {
     val salted = run(8)
     assert(plain.nonEmpty) // hot-band corpus really does pair up
     assert(salted == plain)
+    // star mode on the same single-hot-band clique: O(n) candidates,
+    // no duplicate rows, a subset of all-pairs, and IDENTICAL keep
+    // decisions (single clique: everything near the bucket min)
+    val starRows = Dedup.audioNearDup(clips, "id", "bytes", "codec",
+      pairMode = "star")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(starRows.length == starRows.toSet.size, "duplicate star rows")
+    assert(starRows.length <= 3 * 60, s"star must stay O(n): ${starRows.length}")
+    assert(starRows.toSet.subsetOf(plain), "star emitted a non-all-pairs row")
+    def keeps(p: Set[(Long, Long, Double)]) = {
+      val pairs = p.toSeq.map { case (a, b, _) => (a, b) }
+        .toDF("a", "b")
+      Dedup.keepPolicy(clips.select($"id".as("doc_id")), "doc_id", pairs)
+        .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    }
+    assert(keeps(plain) == keeps(starRows.toSet),
+      "star changed an audio keep decision")
   }
   /** k near-identical docs (mirrored boilerplate, 5 tiny variants) plus
     * two unrelated singletons — the clique shape where all-pairs LSH
