@@ -1371,7 +1371,7 @@ object Dedup {
   def audioNearDup(df: DataFrame, idCol: String, bytesCol: String,
       codecCol: String, threshold: Double = 0.95,
       nBands: Int = 64, saltBuckets: Int = 1,
-      pairMode: String = "all"): DataFrame = {
+      pairMode: String = "all", collectMetrics: Boolean = false): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     requirePairMode(pairMode)
     val spark = df.sparkSession
@@ -1434,6 +1434,12 @@ object Dedup {
       // cache-lifetime policy as minHashLsh: persist + unpersist both
       // live inside the operator)
       .localCheckpoint(eager = true)
+    if (collectMetrics)
+      // bucket = the exact peak band (the ±1 probe fan-out triples the
+      // candidate counts reported here in both modes — the counters
+      // trend the clique growth, which lives in the exact buckets)
+      recordLshMetrics("audio_neardup", pairMode,
+        feats.select($"id", $"pk"), Seq("pk"), out.count())
     feats.unpersist()
     out
   }
