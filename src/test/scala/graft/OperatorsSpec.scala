@@ -532,9 +532,14 @@ class DedupSpec extends AnyFunSuite {
     // star mode on the same single-hot-band clique: O(n) candidates,
     // no duplicate rows, a subset of all-pairs, and IDENTICAL keep
     // decisions (single clique: everything near the bucket min)
+    Dedup.drainLshMetrics() // isolate
     val starRows = Dedup.audioNearDup(clips, "id", "bytes", "codec",
-      pairMode = "star")
+      pairMode = "star", collectMetrics = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val am = Dedup.drainLshMetrics()
+    assert(am.map(_.tier) == Seq("audio_neardup"))
+    assert(am.head.max_bucket == 60 && am.head.survivor_pairs == starRows.length,
+      s"audio metrics row off: ${am.head}")
     assert(starRows.length == starRows.toSet.size, "duplicate star rows")
     assert(starRows.length <= 3 * 60, s"star must stay O(n): ${starRows.length}")
     assert(starRows.toSet.subsetOf(plain), "star emitted a non-all-pairs row")
