@@ -564,6 +564,19 @@ class DedupSpec extends AnyFunSuite {
     (clique ++ singles).toDF("doc_id", "text")
   }
 
+  test("star pair mode at the 2,000-doc clique scale: all-pairs emits " +
+      "the full ~2M rows, star stays linear") {
+    val k = 2000
+    val corpus = cliqueCorpus(k)
+    val nAll = Dedup.minHashLsh(corpus, "doc_id", "text",
+      threshold = 0.7).count()
+    val nStar = Dedup.minHashLsh(corpus, "doc_id", "text",
+      threshold = 0.7, pairMode = "star").count()
+    info(s"k=$k all=$nAll star=$nStar")
+    assert(nAll >= k.toLong * (k - 1) / 2, s"expected ~2M all-pairs: $nAll")
+    assert(nStar <= 4L * k, s"star must stay linear: $nStar")
+  }
+
   test("star pair mode: planted near-identical clique emits O(k) pairs " +
       "where all-pairs emits C(k,2); keepPolicy decisions IDENTICAL") {
     val k = 600
