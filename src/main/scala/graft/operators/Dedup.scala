@@ -750,11 +750,14 @@ object Dedup {
   def minHashLshVerified(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 16,
       candidateThreshold: Double = 0.5,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, pairMode: String = "all"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // pairMode passes straight through to the candidate stage — the
+    // exact verify is per-pair, so star's clique-linearity carries to
+    // the composed tier unchanged
     val cands = minHashLsh(df, idCol, textCol, n, numHashes, bands,
-      candidateThreshold).select($"a", $"b")
+      candidateThreshold, pairMode = pairMode).select($"a", $"b")
     // shingle ONLY the candidate ids (semi-join first — candidates are
     // few by construction, the corpus is not), and persist so the two
     // join sides share one shingling pass instead of re-running
