@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import graft.lid.TextStats
 import graft.operators._
+import org.apache.spark.sql.functions.col
 import graft.model.{LangProb, Stage1Row}
 
 /** Property-based tests (SURVEY.md §5): ratio bounds, decision totality,
@@ -282,6 +283,46 @@ class PropertySpec extends AnyFunSuite {
         val pk = graft.codec.Fft.peakBand(b)
         assert(pk >= 0 && pk < b.length)
       }
+    }
+  }
+
+  test("property: hammingPairs star mode preserves components + keep " +
+      "decisions on every clique-bucketed corpus (20 seeded corpora)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.util.Mix.mix
+    // corpus = nc cliques; clique j's members are its base hash with at
+    // most ONE flipped bit each, in distinct positions => pairwise
+    // hamming <= 2 <= maxHamming(3): every bucket the members share is
+    // a genuine near-dup clique, the regime star mode guarantees.
+    (1 to 20).foreach { seed =>
+      val nc = 2 + (mix(seed.toLong).abs % 4).toInt // 2..5 cliques
+      val rows = (0 until nc).flatMap { j =>
+        val base = mix(seed * 1000L + j * 7L)
+        val size = 2 + (mix(seed * 31L + j).abs % 5).toInt // 2..6 docs
+        (0 until size).map { m =>
+          val h = if (m == 0) base else base ^ (1L << ((m * 11) % 64))
+          (j * 100L + m, h)
+        }
+      }
+      // precondition, asserted so a degenerate generator fails LOUDLY:
+      // inter-clique bases stay far apart (no accidental near-dups)
+      val bases = (0 until nc).map(j => mix(seed * 1000L + j * 7L))
+      for (x <- bases; y <- bases if x != y)
+        assert(java.lang.Long.bitCount(x ^ y) > 7, s"seed $seed degenerate")
+      val hashes = rows.toDF("id", "sh")
+      val all = Dedup.hammingPairs(hashes, maxHamming = 3, chunks = 6)
+      val star = Dedup.hammingPairs(hashes, maxHamming = 3, chunks = 6,
+        pairMode = "star")
+      def labels(p: org.apache.spark.sql.DataFrame) =
+        Dedup.components(p.select(col("a"), col("b")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(labels(all) == labels(star), s"seed $seed: components differ")
+      val ids = rows.map(_._1).toDF("doc_id")
+      def keeps(p: org.apache.spark.sql.DataFrame) =
+        Dedup.keepPolicy(ids, "doc_id", p.select(col("a"), col("b")))
+          .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      assert(keeps(all) == keeps(star), s"seed $seed: keep flags differ")
     }
   }
 }
