@@ -58,11 +58,16 @@ object SparkEntry {
     * can. */
   private[graft] def audioMelodyCorpus(s: SparkSession, n: Long): DataFrame = {
     import s.implicits._
-    val base = s.range(0, n, 1, 8).map { i =>
+    // generation partitions = the session's core count (was a constant
+    // 8): the synth + encode map is the expensive pass and rows are a
+    // pure function of the range index, so the partitioning changes
+    // parallelism only, never a row
+    val p = s.sparkContext.defaultParallelism
+    val base = s.range(0, n, 1, p).map { i =>
       (i.toLong, "pcm_s16le",
         graft.codec.Audio.pcm16Encode(melodyClip(i)))
     }
-    val dups = s.range(0, n / 10, 1, 8).map { k =>
+    val dups = s.range(0, n / 10, 1, p).map { k =>
       val pcm = melodyClip(k * 10)
       val mod = new Array[Short](pcm.length)
       var st = k * 977L
@@ -81,11 +86,13 @@ object SparkEntry {
 
   private[graft] def audioDedupCorpus(s: SparkSession, n: Long): DataFrame = {
     import s.implicits._
-    val base = s.range(0, n, 1, 8).map { i =>
+    // same parallelism rule as audioMelodyCorpus (rows are index-pure)
+    val p = s.sparkContext.defaultParallelism
+    val base = s.range(0, n, 1, p).map { i =>
       val pcm = graft.codec.Audio.synth(i, 8000, 4096)
       (i.toLong, "pcm_s16le", graft.codec.Audio.pcm16Encode(pcm))
     }
-    val dups = s.range(0, n / 10, 1, 8).map { k =>
+    val dups = s.range(0, n / 10, 1, p).map { k =>
       val pcm = graft.codec.Audio.synth(k * 10, 8000, 4096)
       val mod = new Array[Short](pcm.length)
       var st = k * 977L; var i = 0
@@ -869,15 +876,18 @@ object SparkEntry {
     // the generator emits the full format mix, see codec/Image)
     "mm_image_features" -> ((s, _) =>
       graft.operators.Multimodal.imageFeatures(
-        graft.model.MediaGen.images(s, 2000L, partitions = 8)).toDF()),
+        graft.model.MediaGen.images(s, 2000L,
+          partitions = s.sparkContext.defaultParallelism)).toDF()),
     "mm_resize" -> ((s, _) =>
       graft.operators.Multimodal.resize(
-        graft.model.MediaGen.images(s, 1000L, partitions = 8), 8, 8)
+        graft.model.MediaGen.images(s, 1000L,
+          partitions = s.sparkContext.defaultParallelism), 8, 8)
         .toDF().select(col("img_id"), col("width"), col("height"),
           col("channels"), col("format"), length(col("bytes")).as("n_bytes"))),
     "mm_video_frame_sample" -> ((s, _) =>
       graft.operators.Multimodal.sampleFrames(
-        graft.model.MediaGen.videos(s, 500L, partitions = 8), everyN = 4)
+        graft.model.MediaGen.videos(s, 500L,
+          partitions = s.sparkContext.defaultParallelism), everyN = 4)
         .toDF().select(col("video_id"), col("frame_idx"), col("width"),
           col("height"), col("mean_brightness"))),
 
@@ -1123,7 +1133,9 @@ object SparkEntry {
       import s.implicits._
       val bc = cachedBc(s, "models")(
         s.sparkContext.broadcast(graft.lid.LidModels.default))
-      t(s, d, "documents").select(col("doc_id"), col("text"))
+      // fanOut: the detector map is the expensive pass and the fixture
+      // parquet plans as one scan task — see Dedup.fanOut
+      Dedup.fanOut(t(s, d, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val wins = graft.lid.TextStats.charWindows(text)
@@ -1145,7 +1157,7 @@ object SparkEntry {
       // repetition (compresses far below natural prose). Narrow map;
       // rows-only (no deflate in SQL), ordering proven in unit tests.
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.fanOut(t(s, d, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           (id, graft.lid.TextStats.roundTo(
@@ -1164,8 +1176,8 @@ object SparkEntry {
       import s.implicits._
       val bcLm = cachedBc(s, "charlm")(
         s.sparkContext.broadcast(graft.lid.LidModels.default.charLm))
-      val scored = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
+      val scored = Dedup.fanOut(t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text")))
         .as[(Long, String, String)]
         .map { case (id, lang, text) =>
           (id, lang, graft.lid.TextStats.roundTo(
@@ -1234,7 +1246,7 @@ object SparkEntry {
         s.sparkContext.broadcast(
           graft.lid.Bpe.ranks(graft.lid.Bpe.train(sample, 200)))
       }
-      t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.fanOut(t(s, d, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, text) =>
           val n = graft.lid.Bpe.tokenCount(text, bc.value)
@@ -1277,7 +1289,7 @@ object SparkEntry {
       // bigram occurrence in the corpus for the same answer (1.3 s →
       // 0.2 s at sf0.1, and no exchange to skew at 100 TB).
       import s.implicits._
-      t(s, d, "documents").select(col("doc_id"), col("text"))
+      Dedup.fanOut(t(s, d, "documents").select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           Option(graft.lid.TextStats.topBigram(text)).map { case (bg, c) =>
@@ -1315,7 +1327,7 @@ object SparkEntry {
     // pins rule order and every threshold against an independent engine.
     "cascade_decide" -> ((s, d) => {
       import s.implicits._
-      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
         .map(SynthCascade.row)
       Stage2(s, rows, SynthCascade.stats, SynthCascade.params)
         .select($"clip_id", $"source", $"lg", $"lg_decision",
@@ -1328,7 +1340,7 @@ object SparkEntry {
     }),
     "stage1b_stats" -> ((s, d) => {
       import s.implicits._
-      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
         .map(SynthCascade.row)
       Stage1b(s, rows).flatMap { st =>
         st.lid_absolute_counts.toSeq.flatMap { case (lid, langs) =>
@@ -1344,7 +1356,7 @@ object SparkEntry {
     }),
     "stage1b_typedist" -> ((s, d) => {
       import s.implicits._
-      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
         .map(SynthCascade.row)
       Stage1b(s, rows).flatMap { st =>
         st.clip_type_distribution.toSeq.map { case (tp, c) =>

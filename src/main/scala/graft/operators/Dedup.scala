@@ -30,6 +30,50 @@ object Dedup {
   private def normText(c: Column): Column =
     lower(regexp_replace(trim(c), "\\s+", " "))
 
+  /** Plan-observability hook (guide §1/§7.2): the eager tiers
+    * (localCheckpoint inside the operator) return a computed RDD scan,
+    * so their INTERESTING physical plan — exchanges, join strategy —
+    * is gone by the time a caller can explain() the result. With
+    * `-Dgraft.explain.capture=true` each eager tier records the
+    * formatted plan of the frame it is about to materialize; plain runs
+    * pay one boolean system-property check. Drained by BenchExtra's
+    * explain mode. */
+  private[graft] val capturedPlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  private[graft] def capturePlan(tag: String, df: DataFrame): DataFrame = {
+    if (java.lang.Boolean.getBoolean("graft.explain.capture"))
+      capturedPlans.add(tag -> df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    df
+  }
+  private[graft] def drainCapturedPlans(): Seq[(String, String)] = {
+    val b = Seq.newBuilder[(String, String)]
+    var m = capturedPlans.poll()
+    while (m != null) { b += m; m = capturedPlans.poll() }
+    b.result()
+  }
+
+  /** Scale-adaptive fan-out for the expensive row-local stages (guide
+    * §2.2/§2.5 "input skew": one huge unsplittable file → repartition
+    * immediately after the read). Parquet can only split at row-group
+    * boundaries, so a small input (one row group — the bench fixtures,
+    * or any compacted shard) plans as ONE scan task and every per-row
+    * shingle/signature/FFT pass serializes on a single core no matter
+    * how many the cluster has. When the planned scan has fewer
+    * partitions than `defaultParallelism`, round-robin repartition to
+    * the core count — the shuffled bytes are by construction < one
+    * row group per missing task, i.e. trivially small exactly when the
+    * rule fires. At 100 TB the input has orders of magnitude more
+    * splits than cores, the condition is false, and this is a no-op —
+    * never an extra shuffle of a big corpus. ONLY call this on
+    * shuffle-free source frames (scan/range + projections): `.rdd` on a
+    * post-exchange frame would force AQE to materialize upstream
+    * stages just to read the partition count. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Integral-id guard for the pair tiers: a string id would
     * cast-to-null, null out the `a < b` pair filter, and return an
     * EMPTY result — a dedup run that silently deduplicates nothing.
@@ -108,8 +152,8 @@ object Dedup {
     // reference it (df census, pruned a-side, pruned b-side);
     // operator-owned persist + eager-checkpoint + unpersist lifecycle,
     // same policy as minHashLsh.
-    val inv = df.select(longId(df, idCol).as("id"),
-      col(textCol).as("text")).as[(Long, String)]
+    val inv = fanOut(df.select(longId(df, idCol).as("id"),
+      col(textCol).as("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         graft.lid.TextStats.shingles(text, n).iterator.map(s => (id, s))
       }.toDF("id", "shingle")
@@ -141,6 +185,7 @@ object Dedup {
         round($"common" / ($"sza" + $"szb" - $"common"), 4))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
+      .transform(capturePlan("ngram_jaccard", _))
       .localCheckpoint(eager = true)
     inv.unpersist()
     pruned.unpersist()
@@ -183,8 +228,8 @@ object Dedup {
     // of times per row (measured 16 s for 5 000 docs vs ~1 s typed).
     // The distinct-shingle total rides along with each exploded row so
     // no second pass or extra shuffle recovers it later.
-    val d0 = docs.select(longId(docs, idCol).as("id"),
-      col(textCol).as("text")).as[(Long, String)]
+    val d0 = fanOut(docs.select(longId(docs, idCol).as("id"),
+      col(textCol).as("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = graft.lid.TextStats.shingles(text, n)
         if (sh.isEmpty) Iterator.empty
@@ -524,8 +569,8 @@ object Dedup {
     // k-hash-per-shingle computation re-executes once per subtree.
     // Empty shingle sets (null/blank text) are excluded: they would all
     // share the identical sentinel signature and pair with est = 1.0.
-    val sigs = df.select(longId(df, idCol).as("id"),
-      col(textCol).as("text")).as[(Long, String)]
+    val sigs = fanOut(df.select(longId(df, idCol).as("id"),
+      col(textCol).as("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val sh = graft.lid.TextStats.shingles(text, n)
         SigRow(id, if (sh.isEmpty) null else sigFn(sh))
@@ -559,6 +604,7 @@ object Dedup {
           / lit(numHashes.toDouble), 4))
       .select($"a", $"b", $"est_jaccard")
       .filter($"est_jaccard" >= threshold)
+      .transform(capturePlan("minhash_lsh", _))
       // materialize the (small) survivor pairs, then RELEASE the
       // signature cache — the operator owns the persist, so it must own
       // the unpersist too, or a long-lived session accumulates cached
@@ -621,8 +667,8 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val useRoll = hashMode == "roll"
-    val selected = df.select(longId(df, idCol).as("id"),
-      normText(col(textCol)).as("t"))
+    val selected = fanOut(df.select(longId(df, idCol).as("id"),
+      normText(col(textCol)).as("t")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md =
@@ -778,6 +824,7 @@ object Dedup {
           size(array_union($"sha", $"shb")), 4))
       .filter($"jaccard" >= threshold)
       .select($"a", $"b", $"jaccard")
+      .transform(capturePlan("minhash_verified", _))
       .localCheckpoint(eager = true)
     sh.unpersist()
     out
@@ -859,8 +906,8 @@ object Dedup {
     val nPlanes =
       if (planes > 0) planes
       else autoPlanes(if (nHint > 0) nHint else df.count())
-    val v = df.select(longId(df, idCol).as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
+    val v = fanOut(df.select(longId(df, idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec")))
       .withColumn("bucket", Similarity.sketchCol(col("vec"), dim, nPlanes))
     val probes =
       if (!multiProbe) array(col("bucket"))
@@ -1124,9 +1171,13 @@ object Dedup {
     // blank/null texts all hash to the same value (hamming 0 with each
     // other) yet have no content to be near-duplicate of — excluded,
     // same contract as exact/minHashLsh
-    val hashes = df.filter(length(trim(col(textCol))) > 0)
-      .select(longId(df, idCol).as("id"),
-        graft.functions.SimHashOps.simhash64(col(textCol), n).as("sh"))
+    // fanOut BEFORE the hash projection: simhash64 is the expensive
+    // per-row pass (FNV + 64 sign votes per shingle), so it must run on
+    // the repartitioned side, not inside the single scan task
+    val hashes = fanOut(df.filter(length(trim(col(textCol))) > 0)
+      .select(longId(df, idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        graft.functions.SimHashOps.simhash64(col("text"), n).as("sh"))
     hammingPairs(hashes, maxHamming, chunks, pairMode)
   }
 
@@ -1216,7 +1267,16 @@ object Dedup {
         "chunks or raise maxHamming-adjacent block width instead")
     val spark = hashes.sparkSession
     import spark.implicits._
-    val chunked = hashes.select($"id", $"sh",
+    // persisted: BOTH candidate-join sides (and in star mode the
+    // bucket-min aggregate) re-derive from `hashes`, and Spark plans the
+    // self-join as two executions of the upstream subtree — without the
+    // persist the caller's hash computation (simhash64 over every
+    // shingle of every doc) runs once PER SIDE. The cached frame is
+    // (id, sh) = 16 bytes/row; eager-checkpoint + unpersist below, the
+    // same operator-owned cache lifecycle as minHashLsh.
+    val hcached = hashes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = hcached.select($"id", $"sh",
       posexplode(array(tableKeys($"sh", maxHamming, chunks): _*))
         .as(Seq("tbl", "ck")))
     // hamming-filter BEFORE the pair distinct: bucket-mates are quadratic
@@ -1240,11 +1300,17 @@ object Dedup {
           .withColumn("hamming", bit_count($"sha".bitwiseXOR($"shb")))
           .select($"a", $"b", $"hamming")
     }
+    val out = verified.filter($"hamming" <= maxHamming)
+      .select($"a", $"b", $"hamming").distinct()
+      .transform(capturePlan("hamming_pairs", _))
+      // EAGER like minHashLsh: materialize the (small) survivor pairs so
+      // the operator can release its hash cache before returning
+      .localCheckpoint(eager = true)
     if (collectMetrics)
       recordLshMetrics("hamming_multitable", pairMode,
         chunked, Seq("tbl", "ck"), -1L)
-    verified.filter($"hamming" <= maxHamming)
-      .select($"a", $"b", $"hamming").distinct()
+    hcached.unpersist()
+    out
   }
 
   /** Σ over buckets of C(size, 2) — the exact in-bucket verify-join
@@ -1328,8 +1394,8 @@ object Dedup {
     import spark.implicits._
     require(maxHashDfFrac <= 1.0,
       s"maxHashDfFrac is a fraction of the corpus, got $maxHashDfFrac")
-    val lm = df.select(longId(df, idCol).as("id"),
-      col(codecCol).as("codec"), col(bytesCol).as("bytes"))
+    val lm = fanOut(df.select(longId(df, idCol).as("id"),
+      col(codecCol).as("codec"), col(bytesCol).as("bytes")))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, codec, bytes) =>
         val pcm = graft.codec.Audio.decode(codec, bytes)
@@ -1340,9 +1406,16 @@ object Dedup {
           (id, (m >>> 32).toInt, (m & 0xffffffffL).toInt))
       }
       .toDF("id", "hash", "t1")
-      // deduplicate identical (hash, anchor) pairs so one anchor can't
-      // vote twice for the same delta
-      .distinct()
+      // NO distinct here (r6): one anchor must not vote twice for the
+      // same delta, but [[Fft.peakLandmarks]] already guarantees
+      // distinct (hash, t1) per clip BY CONSTRUCTION — per anchor frame
+      // the f1 bins are distinct (sorted unique local maxima) and per
+      // f1 the (dt, f2) pairs are distinct, and the 26-bit packing
+      // f1<<16|f2<<6|dt is injective for nBins ≤ 1024, maxDt ≤ 63
+      // (frameLen 512 ⇒ 257 bins; maxDt 8). The removed distinct was a
+      // full extra shuffle+aggregate of every landmark row that could
+      // never change a single row (measured ~0.6 s of the operator at
+      // sf0.1 scale, pure overhead).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashCap =
       if (maxHashDfFrac > 0.0) {
@@ -1352,7 +1425,11 @@ object Dedup {
     val rare = lm.groupBy($"hash")
       .agg(countDistinct($"id").as("df"))
       .filter($"df" <= hashCap).select($"hash")
+    // persisted: BOTH self-join sides derive from pruned, and without
+    // the persist the lm⋈rare join (and the census feeding rare)
+    // executes once per side; same operator-owned lifecycle as lm
     val pruned = lm.join(rare, Seq("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.select($"hash", $"id".as("a"), $"t1".as("ta"))
     val b = pruned.select($"hash", $"id".as("b"), $"t1".as("tb"))
     val out = a.join(b, Seq("hash"))
@@ -1366,8 +1443,10 @@ object Dedup {
       .select($"a", $"b", $"best.cnt".as("matches"),
         $"best.delta".as("frame_offset"))
       .filter($"matches" >= minMatches)
+      .transform(capturePlan("audio_fingerprint", _))
       .localCheckpoint(eager = true) // release the landmark cache below
     lm.unpersist()
+    pruned.unpersist()
     out
   }
 
@@ -1380,8 +1459,8 @@ object Dedup {
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
-    val feats = df.select(longId(df, idCol).as("id"),
-      col(codecCol).as("codec"), col(bytesCol).as("bytes"))
+    val feats = fanOut(df.select(longId(df, idCol).as("id"),
+      col(codecCol).as("codec"), col(bytesCol).as("bytes")))
       .as[(Long, String, Array[Byte])]
       .map { case (id, codec, bytes) =>
         val pcm = graft.codec.Audio.decode(codec, bytes)
@@ -1433,6 +1512,7 @@ object Dedup {
       .filter($"sim" >= threshold)
       .select($"a", $"b", $"sim")
       .distinct()
+      .transform(capturePlan("audio_neardup", _))
       // materialize survivors, release the decoded-feature cache (same
       // cache-lifetime policy as minHashLsh: persist + unpersist both
       // live inside the operator)
