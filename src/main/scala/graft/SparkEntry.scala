@@ -500,6 +500,11 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
           .as("revenue"), count(lit(1)).as("n"))),
     "q3_revenue_topk" -> ((s, d) => {
+      // NOT fanned out (r6): repartitioning the fact scan before the
+      // broadcast join was measured SLOWER than the serial scan +
+      // map-side partial aggregation it replaces (0.99 s → 1.4 s) —
+      // columnar decode + hash-agg of 600k rows is cheaper than an
+      // extra round-trip of them through a shuffle
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate").cast("date")

@@ -74,6 +74,17 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Populate a persisted frame's cache with ONE dedicated pass. A
+    * persisted-but-unmaterialized frame referenced by several subtrees
+    * of one action gets its partitions computed CONCURRENTLY by racing
+    * stages (each stage finds the cache cold and recomputes), so an
+    * expensive upstream (decode+FFT, signatures, simhash) can execute
+    * 2-3x despite the persist. One cheap count() serializes the cache
+    * fill; every downstream stage then reads memory. Only worth it when
+    * the upstream pass dominates the extra job's ~50 ms overhead. */
+  private def materialize[T](ds: org.apache.spark.sql.Dataset[T]):
+      org.apache.spark.sql.Dataset[T] = { ds.count(); ds }
+
   /** Integral-id guard for the pair tiers: a string id would
     * cast-to-null, null out the `a < b` pair filter, and return an
     * EMPTY result — a dedup run that silently deduplicates nothing.
@@ -569,14 +580,14 @@ object Dedup {
     // k-hash-per-shingle computation re-executes once per subtree.
     // Empty shingle sets (null/blank text) are excluded: they would all
     // share the identical sentinel signature and pair with est = 1.0.
-    val sigs = fanOut(df.select(longId(df, idCol).as("id"),
+    val sigs = materialize(fanOut(df.select(longId(df, idCol).as("id"),
       col(textCol).as("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val sh = graft.lid.TextStats.shingles(text, n)
         SigRow(id, if (sh.isEmpty) null else sigFn(sh))
       }
       .filter(_.sig != null)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // band → bucket key; only bucket-mates meet in the join. The exploded
     // side carries ONLY (band, bucket, id) — shuffling the 64-long
     // signature bands× per doc (~8 KB/doc) dominated the exchange at
@@ -1394,7 +1405,7 @@ object Dedup {
     import spark.implicits._
     require(maxHashDfFrac <= 1.0,
       s"maxHashDfFrac is a fraction of the corpus, got $maxHashDfFrac")
-    val lm = fanOut(df.select(longId(df, idCol).as("id"),
+    val lm = materialize(fanOut(df.select(longId(df, idCol).as("id"),
       col(codecCol).as("codec"), col(bytesCol).as("bytes")))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, codec, bytes) =>
@@ -1416,7 +1427,7 @@ object Dedup {
       // full extra shuffle+aggregate of every landmark row that could
       // never change a single row (measured ~0.6 s of the operator at
       // sf0.1 scale, pure overhead).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hashCap =
       if (maxHashDfFrac > 0.0) {
         val nClips = lm.select(countDistinct($"id")).head.getLong(0)
@@ -1459,7 +1470,7 @@ object Dedup {
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
-    val feats = fanOut(df.select(longId(df, idCol).as("id"),
+    val feats = materialize(fanOut(df.select(longId(df, idCol).as("id"),
       col(codecCol).as("codec"), col(bytesCol).as("bytes")))
       .as[(Long, String, Array[Byte])]
       .map { case (id, codec, bytes) =>
@@ -1474,7 +1485,7 @@ object Dedup {
       // persisted: referenced by BOTH join sides — without it every
       // clip decodes + FFTs twice (same reasoning as the minHashLsh
       // signature persist)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a0 = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
     val b0 = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
