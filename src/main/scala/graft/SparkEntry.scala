@@ -983,8 +983,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("tf"))
       val nDocs = t(s, d, "documents")
         .agg(countDistinct(col("doc_id")).as("n"))
+      // df as a groupBy census + broadcast join, NOT a window over the
+      // term partition (guide §2.5): tf rows are distinct (doc, term)
+      // pairs, so count per term group ≡ the window count — but the
+      // window shuffled and sorted EVERY tf row by term (natural-
+      // language vocab is Zipfian: the hot terms serialize on a few
+      // tasks), while the census partial-aggregates map-side down to
+      // one row per distinct term (vocabulary-bounded, broadcastable at
+      // any corpus size) and the tf frame's exchange is REUSED by both
+      // consumers (same canonical subtree), so tf computes once.
+      val dfCensus = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
       val scored = tf
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .join(broadcast(dfCensus), Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score", round(col("tf") *
           (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 4))

@@ -273,4 +273,63 @@ object TextStats {
     while (i + n <= norm.length) { out += norm.substring(i, i + n); i += 1 }
     out.toSet
   }
+
+  /** FNV-1a 64 over the chars of `s` — the exact hash every dedup tier
+    * (MinHash base hash, shingle join keys) uses; kept here so the
+    * string and windowed forms can never drift apart. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct FNV-1a 64 hashes of the char n-shingles of the normalized
+    * text — value-wise EXACTLY `shingles(text, n).map(fnv64)` as a set
+    * (up to in-document 64-bit collisions, which collapse two distinct
+    * shingles onto one hash; ~1e-15 per doc), computed without
+    * materializing any substring: each window hashes chars in place and
+    * dedups through an open-addressed long table. This is the hot-path
+    * form: the MinHash signature depends only on each shingle's fnv64
+    * (min over per-hash permutations — duplicates and collisions both
+    * leave every min unchanged, so for signatures the equivalence is
+    * exact, not probabilistic), and the Jaccard inverted index joins on
+    * the hash anyway at scale. Output order is insertion order; all
+    * consumers are order-independent (set semantics). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val norm = WsRun.matcher(text.trim.toLowerCase).replaceAll(" ")
+    if (norm.isEmpty) return Array.emptyLongArray
+    if (norm.length < n) return Array(fnv64(norm))
+    val m = norm.length - n + 1
+    // open-addressed set, capacity = next pow2 >= 2m (load <= 0.5);
+    // 0L is the empty sentinel — a real zero hash (vanishingly rare but
+    // legal) is tracked by the flag instead of a slot
+    var cap = 16
+    while (cap < m * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val out = new Array[Long](m)
+    var nOut = 0
+    var zeroSeen = false
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = i + n
+      while (j < end) { h ^= norm.charAt(j); h *= 0x100000001b3L; j += 1 }
+      if (h == 0L) {
+        if (!zeroSeen) { zeroSeen = true; out(nOut) = 0L; nOut += 1 }
+      } else {
+        // splitmix-style scramble for the probe start so sequential FNV
+        // values don't cluster
+        var slot = (((h ^ (h >>> 33)) * 0xff51afd7ed558ccdL) >>> 40).toInt & mask
+        var v = table(slot)
+        while (v != 0L && v != h) { slot = (slot + 1) & mask; v = table(slot) }
+        if (v == 0L) { table(slot) = h; out(nOut) = h; nOut += 1 }
+      }
+      i += 1
+    }
+    if (nOut == m) out else java.util.Arrays.copyOf(out, nOut)
+  }
 }

@@ -65,13 +65,39 @@ object Dedup {
     * row group per missing task, i.e. trivially small exactly when the
     * rule fires. At 100 TB the input has orders of magnitude more
     * splits than cores, the condition is false, and this is a no-op —
-    * never an extra shuffle of a big corpus. ONLY call this on
-    * shuffle-free source frames (scan/range + projections): `.rdd` on a
-    * post-exchange frame would force AQE to materialize upstream
-    * stages just to read the partition count. */
+    * never an extra shuffle of a big corpus.
+    *
+    * Two probes, picked by PLAN SHAPE (r6): on a narrow source frame
+    * (scan/range/typed-map chains — no join/aggregate/exchange) the
+    * planned partition count is read directly (`.rdd` is free to build
+    * there). On a post-exchange frame, `.rdd.getNumPartitions` would
+    * force AQE to EXECUTE every upstream stage just to learn the
+    * partition count — and then execute them AGAIN when the repartitioned
+    * plan runs (measured: the curate_corpus semi-join ran its broadcast
+    * build twice) — so the decision falls back to the optimizer's size
+    * ESTIMATE: repartition iff the estimated bytes are small enough that
+    * the extra shuffle is trivially cheap (< 16 MB per target core).
+    * Both probes are no-ops at 100 TB: many-split inputs fail the narrow
+    * partition test, and big frames fail the size test. */
   private[graft] def fanOut(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    def isNarrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias | _: Union |
+           _: SerializeFromObject | _: DeserializeToObject |
+           _: MapPartitions | _: MapElements | _: TypedFilter =>
+        p.children.forall(isNarrow)
+      case _ => false
+    }
+    if (isNarrow(df.queryExecution.optimizedPlan)) {
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est >= 0 && est < BigInt(target.toLong * (16L << 20)))
+        df.repartition(target)
+      else df
+    }
   }
 
   /** Populate a persisted frame's cache with ONE dedicated pass. A
@@ -163,10 +189,19 @@ object Dedup {
     // reference it (df census, pruned a-side, pruned b-side);
     // operator-owned persist + eager-checkpoint + unpersist lifecycle,
     // same policy as minHashLsh.
+    // HASHED inverted index (guide §2.3 "shuffle keys and metadata
+    // instead of payloads"): the index carries fnv64(shingle) — 8 fixed
+    // bytes — instead of the n-char string; the df census, prune join
+    // and self-join all key on the hash. Set sizes and intersection
+    // counts over distinct hashes equal those over distinct strings up
+    // to 64-bit collisions (~(distinct shingles)²/2^65 ≈ 1e-7 for a
+    // million-shingle corpus; the output (a, b, jaccard) carries no
+    // shingle, so only a collision could shift a value).
     val inv = fanOut(df.select(longId(df, idCol).as("id"),
       col(textCol).as("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
-        graft.lid.TextStats.shingles(text, n).iterator.map(s => (id, s))
+        graft.lid.TextStats.shingleHashes(text, n).iterator
+          .map(h => (id, h))
       }.toDF("id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fractional form: one countDistinct over the (persisted) inverted
@@ -179,10 +214,13 @@ object Dedup {
     val rare = inv.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" <= dfCap).select($"shingle")
     // pruned is referenced by THREE subtrees (sz census, a-side, b-side)
-    // and embeds the rare-shingle groupBy — persisted, or each subtree
-    // re-runs the df census + join
-    val pruned = inv.join(rare, Seq("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // and embeds the rare-shingle groupBy — persisted AND cache-filled
+    // with one dedicated pass (materialize): the three subtrees of the
+    // eager output job otherwise race the cold cache and re-run the
+    // shingle pass + census + join up to 3x (the broadcast build of
+    // `rare` fills inv's cache first, so inv needs no extra pass)
+    val pruned = materialize(inv.join(rare, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sz = pruned.groupBy($"id").agg(count(lit(1)).as("sz"))
     val a = pruned.select($"id".as("a"), $"shingle")
     val b = pruned.select($"id".as("b"), $"shingle")
@@ -364,12 +402,17 @@ object Dedup {
     * only on hash-collision cohabitants, which the verify stage was
     * going to reject pairwise anyway in every case except a≁min∧b≁min
     * ∧a~b. Each tier's banding re-rolls the buckets per band/table, so
-    * a genuine pair missed in one bucket usually re-pairs in another. Plan shape: the bucket-min
-    * aggregate and the join back both key on the bucket columns, so AQE
-    * reuses one exchange and the shuffle carries (keys, id) only. */
+    * a genuine pair missed in one bucket usually re-pairs in another.
+    * Plan shape (r6): the bucket min is a WINDOW aggregate over the
+    * bucket partition — ONE exchange keyed by the bucket columns and a
+    * partition-local min, instead of the earlier groupBy + join-back
+    * (a second traversal of the bucket frame probing a broadcast of
+    * the minima). The shuffle carries (keys, id) only either way; the
+    * window form removes the aggregate job + broadcast build. */
   private def starPairs(buckets: DataFrame, keys: Seq[String]): DataFrame = {
-    val mins = buckets.groupBy(keys.map(col): _*).agg(min(col("id")).as("a"))
-    buckets.join(mins, keys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    buckets.withColumn("a", min(col("id")).over(w))
       .filter(col("id") > col("a"))
       .select(col("a"), col("id").as("b"))
   }
@@ -436,15 +479,23 @@ object Dedup {
     * is a TRUE universal-hash min under h_j(x) = (a_j·x + b_j) mod P
     * ([[mulModP]] does the exact 122-bit Mersenne reduction — the r2
     * hi/lo split only bounded x, not a, and silently wrapped). */
-  def signature(shingles: Iterable[String], k: Int): Array[Long] = {
+  def signature(shingles: Iterable[String], k: Int): Array[Long] =
+    signatureOfHashes(
+      shingles.iterator.map(graft.lid.TextStats.fnv64).toArray, k)
+
+  /** [[signature]] over precomputed FNV-1a 64 base hashes
+    * ([[graft.lid.TextStats.shingleHashes]]) — the hot-path form: every
+    * slot depends only on each shingle's fnv64, and min is idempotent,
+    * so dedup-by-hash input gives BIT-IDENTICAL signatures to the
+    * string-set form (duplicates and 64-bit collisions both collapse
+    * onto the same per-slot candidate value). Skips the per-shingle
+    * substring allocation + second char pass of the string path. */
+  def signatureOfHashes(hashes: Array[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     val (pa, pb) = perms(k)
-    shingles.foreach { s =>
-      // FNV-1a 64 over chars as the base hash
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-      val x = (h & Long.MaxValue) % P
+    var si = 0
+    while (si < hashes.length) {
+      val x = (hashes(si) & Long.MaxValue) % P
       var j = 0
       while (j < k) {
         var v = mulModP(pa(j), x) + pb(j)
@@ -452,6 +503,7 @@ object Dedup {
         if (v < sig(j)) sig(j) = v
         j += 1
       }
+      si += 1
     }
     sig
   }
@@ -499,15 +551,22 @@ object Dedup {
     * est J = fraction of equal slots (each slot is an unbiased min-hash
     * sample of its band's bin partition). */
   def signatureOph(shingles: Iterable[String], k: Int,
+      bands: Int = 0): Array[Long] =
+    signatureOphOfHashes(
+      shingles.iterator.map(graft.lid.TextStats.fnv64).toArray, k, bands)
+
+  /** [[signatureOph]] over precomputed FNV-1a 64 base hashes — same
+    * exact-equivalence argument as [[signatureOfHashes]]: every bin
+    * min depends only on each shingle's fnv64. */
+  def signatureOphOfHashes(hashes: Array[Long], k: Int,
       bands: Int = 0): Array[Long] = {
     val nb = if (bands > 0) bands else math.max(1, k / 4)
     require(k % nb == 0, s"bands $nb must divide numHashes $k")
     val rpb = k / nb
     val sig = Array.fill(k)(Long.MaxValue)
-    shingles.foreach { s =>
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    var si = 0
+    while (si < hashes.length) {
+      val h = hashes(si)
       var band = 0
       while (band < nb) {
         // per-band permutation: splitmix finalizer of the band-salted
@@ -519,6 +578,7 @@ object Dedup {
         if (v < sig(bin)) sig(bin) = v
         band += 1
       }
+      si += 1
     }
     // densify empty bins within their band (cyclic borrow, distance tag)
     var band = 0
@@ -573,8 +633,12 @@ object Dedup {
     graft.functions.VectorOps.register(spark)
     require(numHashes % bands == 0)
     val rowsPerBand = numHashes / bands
-    val sigFn: Iterable[String] => Array[Long] =
-      if (oph) signatureOph(_, numHashes, bands) else signature(_, numHashes)
+    // hashed-shingle hot path: signatures depend only on each shingle's
+    // fnv64 (see signatureOfHashes — bit-identical to the string-set
+    // form), so the per-row pass skips substring allocation entirely
+    val sigFn: Array[Long] => Array[Long] =
+      if (oph) signatureOphOfHashes(_, numHashes, bands)
+      else signatureOfHashes(_, numHashes)
     // persisted: the signature map is referenced by THREE subtrees
     // (bucket explode + both post-distinct joins) — without persist the
     // k-hash-per-shingle computation re-executes once per subtree.
@@ -583,7 +647,7 @@ object Dedup {
     val sigs = materialize(fanOut(df.select(longId(df, idCol).as("id"),
       col(textCol).as("text"))).as[(Long, String)]
       .map { case (id, text) =>
-        val sh = graft.lid.TextStats.shingles(text, n)
+        val sh = graft.lid.TextStats.shingleHashes(text, n)
         SigRow(id, if (sh.isEmpty) null else sigFn(sh))
       }
       .filter(_.sig != null)
@@ -786,7 +850,13 @@ object Dedup {
       }
     selected.toDF("id", "span")
       .groupBy($"span")
-      .agg(countDistinct($"id").as("n_docs"), min($"id").as("first_doc"))
+      // count, NOT countDistinct: the winnow emits each (id, span) at
+      // most once per doc by construction (per-doc LinkedHashSet dedup
+      // above), so plain count ≡ distinct-doc count — and it drops the
+      // two-phase distinct-aggregate expansion (partial dedup on
+      // (span, id) + re-aggregate) from the plan: one partial-agg
+      // exchange keyed by span instead.
+      .agg(count(lit(1)).as("n_docs"), min($"id").as("first_doc"))
       .filter($"n_docs" >= minDocs)
       .select($"span", $"n_docs", $"first_doc")
   }
@@ -1296,14 +1366,16 @@ object Dedup {
     // filter-then-distinct ≡ distinct-then-filter)
     val verified = pairMode match {
       case "star" =>
-        // bucket min carries its hash via min(struct): one aggregate,
-        // no extra join back to `hashes`
-        val mins = chunked.groupBy($"tbl", $"ck")
-          .agg(min(struct($"id", $"sh")).as("m"))
-          .select($"tbl", $"ck", $"m.id".as("a"), $"m.sh".as("sha"))
-        chunked.join(mins, Seq("tbl", "ck")).filter($"id" > $"a")
-          .withColumn("hamming", bit_count($"sha".bitwiseXOR($"sh")))
-          .select($"a", $"id".as("b"), $"hamming")
+        // bucket min as a WINDOW aggregate (same shape change as
+        // [[starPairs]]): min(struct(id, sh)) over the (tbl, ck)
+        // partition carries the min's hash along — one exchange +
+        // partition-local min instead of groupBy + join-back
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"tbl", $"ck")
+        chunked.withColumn("m", min(struct($"id", $"sh")).over(w))
+          .filter($"id" > $"m.id")
+          .withColumn("hamming", bit_count($"m.sh".bitwiseXOR($"sh")))
+          .select($"m.id".as("a"), $"id".as("b"), $"hamming")
       case _ =>
         val a = chunked.select($"tbl", $"ck", $"id".as("a"), $"sh".as("sha"))
         val b = chunked.select($"tbl", $"ck", $"id".as("b"), $"sh".as("shb"))
@@ -1436,11 +1508,12 @@ object Dedup {
     val rare = lm.groupBy($"hash")
       .agg(countDistinct($"id").as("df"))
       .filter($"df" <= hashCap).select($"hash")
-    // persisted: BOTH self-join sides derive from pruned, and without
-    // the persist the lm⋈rare join (and the census feeding rare)
-    // executes once per side; same operator-owned lifecycle as lm
-    val pruned = lm.join(rare, Seq("hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted AND cache-filled with one dedicated pass: BOTH
+    // self-join sides derive from pruned, and the eager output job's
+    // two sides otherwise race the cold cache and run the lm⋈rare join
+    // twice; same operator-owned lifecycle as lm
+    val pruned = materialize(lm.join(rare, Seq("hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = pruned.select($"hash", $"id".as("a"), $"t1".as("ta"))
     val b = pruned.select($"hash", $"id".as("b"), $"t1".as("tb"))
     val out = a.join(b, Seq("hash"))
