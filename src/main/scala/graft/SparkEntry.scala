@@ -1305,7 +1305,7 @@ object SparkEntry {
       // bigram occurrence in the corpus for the same answer (1.3 s →
       // 0.2 s at sf0.1, and no exchange to skew at 100 TB).
       import s.implicits._
-      Dedup.fanOut(t(s, d, "documents").select(col("doc_id"), col("text")))
+      t(s, d, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           Option(graft.lid.TextStats.topBigram(text)).map { case (bg, c) =>
@@ -1343,7 +1343,7 @@ object SparkEntry {
     // pins rule order and every threshold against an independent engine.
     "cascade_decide" -> ((s, d) => {
       import s.implicits._
-      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map(SynthCascade.row)
       Stage2(s, rows, SynthCascade.stats, SynthCascade.params)
         .select($"clip_id", $"source", $"lg", $"lg_decision",
@@ -1356,7 +1356,7 @@ object SparkEntry {
     }),
     "stage1b_stats" -> ((s, d) => {
       import s.implicits._
-      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map(SynthCascade.row)
       Stage1b(s, rows).flatMap { st =>
         st.lid_absolute_counts.toSeq.flatMap { case (lid, langs) =>
@@ -1372,7 +1372,7 @@ object SparkEntry {
     }),
     "stage1b_typedist" -> ((s, d) => {
       import s.implicits._
-      val rows = Dedup.fanOut(t(s, d, "documents").select(col("doc_id"))).as[Long]
+      val rows = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map(SynthCascade.row)
       Stage1b(s, rows).flatMap { st =>
         st.clip_type_distribution.toSeq.map { case (tp, c) =>

@@ -1543,7 +1543,7 @@ object Dedup {
     val spark = df.sparkSession
     graft.functions.VectorOps.register(spark)
     import spark.implicits._
-    val feats = materialize(fanOut(df.select(longId(df, idCol).as("id"),
+    val feats = fanOut(df.select(longId(df, idCol).as("id"),
       col(codecCol).as("codec"), col(bytesCol).as("bytes")))
       .as[(Long, String, Array[Byte])]
       .map { case (id, codec, bytes) =>
@@ -1557,8 +1557,13 @@ object Dedup {
       .filter($"pk" >= 0)
       // persisted: referenced by BOTH join sides — without it every
       // clip decodes + FFTs twice (same reasoning as the minHashLsh
-      // signature persist)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // signature persist). NO materialize pass here (r6, measured):
+      // the band-energy map is cheap enough that the racing fill's
+      // duplicated work is concurrent and wall-time-free, while the
+      // dedicated count job cost a consistent ~0.3 s per call
+      // (dedup_audio_neardup 0.63 -> 0.96 s in full-bench context);
+      // the expensive-decode tiers (landmarks) keep theirs.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a0 = feats.select($"id".as("a"), $"bands".as("ba"),
       explode(array($"pk" - 1, $"pk", $"pk" + 1)).as("pb"))
     val b0 = feats.select($"id".as("b"), $"bands".as("bb"), $"pk".as("pb"))
