@@ -168,6 +168,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes == shingles.map(fnv64) as a set (r6 hashed hot path)") {
+    import graft.lid.TextStats
+    val cases = Seq(
+      base, // normal prose
+      base.replace("gestern", "heute"),
+      "kurz", // shorter than n -> whole-norm hash
+      "  a\t b\n  c  ", // whitespace runs to collapse
+      "café über straße œuvre", // accents / ligature
+      "", // empty -> empty
+      null, // null -> empty
+      "aaaaaaaaaaaaaaaa", // maximal duplicate windows
+      "x" * 3000) // long doc, many windows
+    for (t <- cases; n <- Seq(3, 5, 8)) {
+      val viaStrings = TextStats.shingles(t, n).map(TextStats.fnv64)
+      val direct = TextStats.shingleHashes(t, n).toSet
+      assert(direct == viaStrings, s"n=$n text=${Option(t).map(_.take(20))}")
+    }
+  }
+
+  test("signatureOfHashes bit-identical to string-set signature; dup input is a no-op") {
+    import graft.lid.TextStats
+    for (t <- Seq(base, base.replace("gestern", "heute"), "ab", "x" * 500);
+         k <- Seq(16, 64)) {
+      val viaStrings = Dedup.signature(TextStats.shingles(t, 5), k)
+      val viaHashes = Dedup.signatureOfHashes(TextStats.shingleHashes(t, 5), k)
+      assert(viaStrings.sameElements(viaHashes), s"k-perm k=$k")
+      val viaStringsO = Dedup.signatureOph(TextStats.shingles(t, 5), 64, 16)
+      val viaHashesO =
+        Dedup.signatureOphOfHashes(TextStats.shingleHashes(t, 5), 64, 16)
+      assert(viaStringsO.sameElements(viaHashesO), "oph")
+      // min is idempotent per hash: duplicated hashes change nothing
+      val hs = TextStats.shingleHashes(t, 5)
+      assert(Dedup.signatureOfHashes(hs ++ hs, k).sameElements(viaHashes))
+    }
+  }
+
   test("minhash estimate tracks true jaccard within 0.15") {
     val sa = graft.lid.TextStats.shingles(base, 5)
     val sb = graft.lid.TextStats.shingles(base.replace("gestern", "heute"), 5)
