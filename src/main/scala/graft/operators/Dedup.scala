@@ -222,6 +222,16 @@ object Dedup {
     val pruned = materialize(inv.join(rare, Seq("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sz = pruned.groupBy($"id").agg(count(lit(1)).as("sz"))
+    // Pair generation stays the a⋈b SELF-JOIN, not a grouped posting
+    // list: both were A/B-measured alternating inside one JVM
+    // (apps/ProfileNgramPairs, the only protocol that beats this host's
+    // ambient noise) and the whole-stage-codegen join + partial
+    // aggregate beat the posting-list flatMap by ~1.4x on the
+    // dedup_text_keep instance (selfjoin 1.8-2.5 s vs posting
+    // 3.2-4.4 s end-to-end) — encoding millions of pair tuples through
+    // a typed Dataset boundary costs more than the join's second
+    // traversal of the (cached) pruned index. Guide §1.1's warning in
+    // action: the "ideal one-shuffle" rewrite measured slower.
     val a = pruned.select($"id".as("a"), $"shingle")
     val b = pruned.select($"id".as("b"), $"shingle")
     val out = a.join(b, Seq("shingle"))
@@ -1514,6 +1524,12 @@ object Dedup {
     // twice; same operator-owned lifecycle as lm
     val pruned = materialize(lm.join(rare, Seq("hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Pair generation stays the a⋈b SELF-JOIN: the grouped-posting-list
+    // rewrite was A/B-measured alternating in one JVM
+    // (apps/ProfileAudioPairs) and lost by ~25% (selfjoin 0.99-1.03 s
+    // vs posting 1.22-1.26 s for pair stage + delta histogram + argmax)
+    // — the typed flatMap's tuple encoding outweighs the join's second
+    // cached-index traversal, same verdict as ngramJaccard's A/B.
     val a = pruned.select($"hash", $"id".as("a"), $"t1".as("ta"))
     val b = pruned.select($"hash", $"id".as("b"), $"t1".as("tb"))
     val out = a.join(b, Seq("hash"))
